@@ -1,0 +1,55 @@
+"""tpu-strsim: TPU-native vectorized string-similarity engine.
+
+A from-scratch JAX/XLA/Pallas implementation of the five normalized string
+similarity measures provided by the reference CPU engine (foxcroftjn/polars-strsim):
+Levenshtein, Jaro, Jaro-Winkler, Jaccard and Sørensen-Dice
+(reference: src/expressions/strsim.rs:109-345), with exact (bit-for-float f64)
+score parity, the same null-propagation / empty-string / broadcast rules
+(reference: src/expressions/strsim.rs:41-107), and a Polars expression layer
+mirroring polars_strsim/__init__.py:8-69 when polars is installed.
+
+Architecture (TPU-first, not a translation of the reference's Rust):
+  strings → vectorized UCS4 codepoint tiles (utils/encode.py)
+          → length-bucketed padded [B, L] int32 batches (models/pipeline.py)
+          → integer sufficient-statistic kernels on device (ops/stats.py XLA,
+            ops/*_pallas.py Pallas) — batched across thousands of pairs
+          → exact IEEE-f64 finalization on host (ops/finalize.py)
+          → f64 scores + validity (nulls preserved).
+
+Scaling: batch-sharded device mesh via jax.sharding (parallel/mesh.py), with
+length-skew-aware partitioning across hosts (parallel/partition.py).
+"""
+
+from strsim_tpu.api import (
+    levenshtein,
+    jaro,
+    jaro_winkler,
+    jaccard,
+    sorensen_dice,
+    compute,
+    compute_many,
+    compute_with_validity,
+    lit,
+    Literal,
+)
+from strsim_tpu.config import StrsimConfig, get_config, set_config
+from strsim_tpu.models.measures import MEASURES
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "levenshtein",
+    "jaro",
+    "jaro_winkler",
+    "jaccard",
+    "sorensen_dice",
+    "compute",
+    "compute_many",
+    "compute_with_validity",
+    "lit",
+    "Literal",
+    "StrsimConfig",
+    "get_config",
+    "set_config",
+    "MEASURES",
+]

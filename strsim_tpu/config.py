@@ -1,0 +1,77 @@
+"""Engine configuration.
+
+The reference has no config system (SURVEY.md §5: the only knobs are the Polars
+thread-pool size and a compile-time buffer length, src/expressions/strsim.rs:7,53,73).
+The TPU engine makes its knobs explicit in one dataclass: bucket edges, batch
+rounding, kernel implementation selection, mesh shape, and overflow policy.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StrsimConfig:
+    # Length buckets (chars). A row pair lands in the smallest bucket that fits
+    # max(len_a, len_b); the Levenshtein wavefront cost is O(L^2), so tight
+    # buckets are the difference between paying 64^2 and 512^2 per short name.
+    buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
+
+    # Rows longer than the largest bucket: "oracle" computes them on host with
+    # the pure-Python oracle (exact, slow — these are rare outliers); "extend"
+    # grows ad-hoc power-of-two buckets on device.
+    overflow_policy: str = "extend"
+    max_extend_len: int = 16384
+
+    # Batch sizes are rounded up (pow2, then multiples of max_batch_block) to
+    # bound the jit compile cache; padded rows are zero-length and masked out.
+    min_batch: int = 8
+    max_batch_block: int = 65536
+
+    # Kernel implementation per measure family: "xla" (pure jnp, fused by XLA)
+    # or "pallas" (hand-written Mosaic kernels with explicit VMEM residency).
+    levenshtein_impl: str = "pallas"
+    jaro_impl: str = "pallas"
+    multiset_impl: str = "xla"
+
+    # Pallas grid block size (rows per grid step). Must be a multiple of 8.
+    pallas_block_rows: int = 256
+
+    # Skip-equal fast path: detect byte-equal pairs host-side and emit 1.0
+    # without touching the device (reference does the same per-row,
+    # src/expressions/strsim.rs:128,182,288,324).
+    equal_fast_path: bool = True
+
+    # Mesh axis name used by the batch-sharded data-parallel layer.
+    batch_axis: str = "data"
+
+    # Device placement: None → jax default.
+    device: Optional[object] = None
+
+    def bucket_for(self, max_len: int) -> int:
+        for edge in self.buckets:
+            if max_len <= edge:
+                return edge
+        if self.overflow_policy == "extend":
+            edge = self.buckets[-1]
+            while edge < max_len and edge < self.max_extend_len:
+                edge *= 2
+            if max_len <= edge:
+                return edge
+        return -1  # caller falls back to oracle
+
+    def replace(self, **kw) -> "StrsimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_CONFIG = StrsimConfig()
+
+
+def get_config() -> StrsimConfig:
+    return _CONFIG
+
+
+def set_config(config: StrsimConfig) -> None:
+    global _CONFIG
+    _CONFIG = config

@@ -1,0 +1,220 @@
+"""End-to-end scoring pipeline: string columns → bucketed device batches → scores.
+
+This is the TPU-native replacement for the reference's parallel_apply
+(src/expressions/strsim.rs:41-107). Where the reference splits rows into
+equal chunks for rayon threads (strsim.rs:21-39), this pipeline:
+
+  1. validates shapes and broadcasts a length-1 side (strsim.rs:48-52, 61-66);
+  2. classifies rows host-side: null → null out, both-empty / byte-equal → 1.0
+     without touching the device (the reference's per-row fast paths,
+     strsim.rs:128,182,288,324, hoisted to vectorized column scans);
+  3. buckets the remaining rows by max(len_a, len_b) so the O(L²) kernels pay
+     only the padded length they need, pads each bucket batch to a fixed block
+     size (bounded jit cache), and runs the fused integer-stat kernels;
+  4. finalizes exact f64 scores on host and scatters them back to row order.
+
+Rows longer than the largest bucket fall back to the exact host oracle
+(config.overflow_policy).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from strsim_tpu.config import StrsimConfig, get_config
+from strsim_tpu.models.measures import MEASURES, resolve_measures
+from strsim_tpu.ops.stats import STAT_FIELDS
+from strsim_tpu.utils import encode as enc
+from strsim_tpu.utils.encode import EncodedColumn
+
+
+def _round_batch(n: int, cfg: StrsimConfig) -> int:
+    """Round a bucket batch up to a size from a small fixed menu, bounding the
+    number of distinct compiled shapes per bucket width."""
+    b = cfg.min_batch
+    while b < n and b < cfg.max_batch_block:
+        b *= 2
+    if b >= n:
+        return b
+    return ((n + cfg.max_batch_block - 1) // cfg.max_batch_block) * cfg.max_batch_block
+
+
+def _block_rows(width: int, cfg: StrsimConfig, measures: Tuple[str, ...]) -> int:
+    """Max rows per device call. The multiset kernel materializes [B, L, L]
+    compare tables; cap its footprint. Other kernels are [B, L]."""
+    need_multiset = any("inter" in STAT_FIELDS[m] for m in measures)
+    cap = cfg.max_batch_block
+    if need_multiset:
+        cap = min(cap, max(cfg.min_batch, (1 << 24) // max(width * width, 1)))
+    # keep to powers of two for a compact compile cache
+    b = cfg.min_batch
+    while b * 2 <= cap:
+        b *= 2
+    return b
+
+
+_kernel_cache: Dict[Tuple, object] = {}
+
+
+def _get_kernel(measures: Tuple[str, ...]):
+    """A jitted fused-stats kernel (specializes per input shape via jit cache)."""
+    fn = _kernel_cache.get(measures)
+    if fn is None:
+        from strsim_tpu.ops.stats import compute_stats
+
+        fn = jax.jit(lambda a, b, la, lb: compute_stats(a, b, la, lb, measures))
+        _kernel_cache[measures] = fn
+    return fn
+
+
+def _broadcast_pair(
+    a: EncodedColumn, b: EncodedColumn
+) -> Tuple[EncodedColumn, EncodedColumn]:
+    """Replicate a length-1 side to match the other (literal broadcast,
+    strsim.rs:61-66). A null literal is an error (the reference panics on it,
+    strsim.rs:62,65 — we raise instead)."""
+    if a.n == b.n:
+        return a, b
+    if b.n == 1:
+        small, big, which = b, a, "b"
+    elif a.n == 1:
+        small, big, which = a, b, "a"
+    else:
+        raise ValueError(
+            "Inputs must have the same length, or one of them must be a "
+            f"length-1 literal (got {a.n} and {b.n})."
+        )
+    if not bool(small.validity[0]):
+        raise ValueError(f"cannot broadcast a null literal (side {which!r})")
+    rep = EncodedColumn(
+        codes=np.broadcast_to(small.codes, (big.n, small.width)).copy(),
+        lengths=np.broadcast_to(small.lengths, (big.n,)).copy(),
+        validity=np.broadcast_to(small.validity, (big.n,)).copy(),
+    )
+    return (rep, big) if which == "a" else (big, rep)
+
+
+def compute_scores(
+    col_a,
+    col_b,
+    measures,
+    config: Optional[StrsimConfig] = None,
+) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Score two string columns under every requested measure.
+
+    Returns {measure: (values f64 [N], validity bool [N])}; values at invalid
+    rows are NaN. Accepts anything encode_column accepts (list/np array of
+    str|None, polars/arrow columns via to_list, or EncodedColumn pairs).
+    """
+    cfg = config or get_config()
+    measures = resolve_measures(measures)
+
+    if isinstance(col_a, EncodedColumn) and isinstance(col_b, EncodedColumn):
+        a, b = col_a, col_b
+    else:
+        a, b = enc.encode_pair(col_a, col_b)
+    a, b = _broadcast_pair(a, b)
+    n = a.n
+
+    validity = a.validity & b.validity
+    la = np.where(validity, a.lengths, 0).astype(np.int32)
+    lb = np.where(validity, b.lengths, 0).astype(np.int32)
+
+    out = {m: np.full(n, np.nan, dtype=np.float64) for m in measures}
+
+    both_empty = validity & (la == 0) & (lb == 0)
+    trivial = both_empty
+    if cfg.equal_fast_path and n:
+        equal = validity & enc.equal_rows(a, b)
+        trivial = trivial | equal
+    for m in measures:
+        out[m][trivial] = 1.0
+
+    work = validity & ~trivial
+    # one side empty: every measure is 0.0 except via levenshtein's formula,
+    # which also yields 0.0 here — resolve host-side, no kernel needed.
+    one_empty = work & ((la == 0) | (lb == 0))
+    for m in measures:
+        out[m][one_empty] = 0.0
+    work = work & ~one_empty
+
+    idx = np.nonzero(work)[0]
+    if idx.size:
+        maxlen = np.maximum(la[idx], lb[idx])
+        uniq = np.unique(maxlen)
+        uniq_bucket = np.array([cfg.bucket_for(int(v)) for v in uniq], dtype=np.int64)
+        bucket_of = uniq_bucket[np.searchsorted(uniq, maxlen)]
+
+        for bucket_w in np.unique(bucket_of):
+            sel = idx[bucket_of == bucket_w]
+            if bucket_w < 0:
+                _oracle_rows(out, measures, a, b, sel)
+                continue
+            _device_rows(out, measures, a, b, la, lb, sel, int(bucket_w), cfg)
+
+    return {m: (out[m], validity) for m in measures}
+
+
+def _device_rows(out, measures, a, b, la, lb, sel, width, cfg):
+    codes_a = a.codes[sel, :width] if a.width >= width else _pad_codes(a.codes[sel], enc.PAD_A, width)
+    codes_b = b.codes[sel, :width] if b.width >= width else _pad_codes(b.codes[sel], enc.PAD_B, width)
+    lens_a = la[sel]
+    lens_b = lb[sel]
+
+    block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
+    kernel = _get_kernel(measures)
+    need = sorted({f for m in measures for f in STAT_FIELDS[m]})
+    stats_np = {f: np.zeros(sel.size, dtype=np.int64) for f in need}
+
+    for start in range(0, sel.size, block):
+        stop = min(start + block, sel.size)
+        nb = stop - start
+        ca = _pad_rows(codes_a[start:stop], enc.PAD_A, block)
+        cb = _pad_rows(codes_b[start:stop], enc.PAD_B, block)
+        pla = _pad_vec(lens_a[start:stop], block)
+        plb = _pad_vec(lens_b[start:stop], block)
+        stats = kernel(jnp.asarray(ca), jnp.asarray(cb), jnp.asarray(pla), jnp.asarray(plb))
+        for f in need:
+            stats_np[f][start:stop] = np.asarray(stats[f])[:nb]
+
+    for m in measures:
+        vals = MEASURES[m].finalizer(stats_np, lens_a.astype(np.int64), lens_b.astype(np.int64))
+        out[m][sel] = vals
+
+
+def _oracle_rows(out, measures, a, b, sel):
+    for i in sel:
+        sa = enc.decode_row(a.codes[i], int(a.lengths[i]))
+        sb = enc.decode_row(b.codes[i], int(b.lengths[i]))
+        for m in measures:
+            out[m][i] = MEASURES[m].oracle(sa, sb)
+
+
+def _pad_codes(codes: np.ndarray, pad: int, width: int) -> np.ndarray:
+    n, w = codes.shape
+    if w == width:
+        return codes
+    padded = np.full((n, width), pad, dtype=np.int32)
+    padded[:, : min(w, width)] = codes[:, :width]
+    return padded
+
+
+def _pad_rows(codes: np.ndarray, pad: int, rows: int) -> np.ndarray:
+    n, w = codes.shape
+    if n == rows:
+        return np.ascontiguousarray(codes)
+    padded = np.full((rows, w), pad, dtype=np.int32)
+    padded[:n] = codes
+    return padded
+
+
+def _pad_vec(v: np.ndarray, rows: int) -> np.ndarray:
+    if v.shape[0] == rows:
+        return np.ascontiguousarray(v)
+    padded = np.zeros(rows, dtype=v.dtype)
+    padded[: v.shape[0]] = v
+    return padded

@@ -1,0 +1,238 @@
+"""Device kernels: integer sufficient statistics for all five measures (pure XLA).
+
+Design: rather than computing f64 scores on device (TPU f64 is emulated and
+slow), each kernel reduces a padded codepoint tile pair [B, L] to small integer
+statistics — exact by construction — and the host finalizer (ops/finalize.py)
+applies the reference's f64 formulas in the reference's evaluation order.
+Integer stats + IEEE-identical host math ⇒ bit-for-float parity with the
+reference (src/expressions/strsim.rs:160, 238-243, 260-267, 301-306, 337-343)
+while the device does only int32/bool vector work.
+
+Statistics per measure:
+  levenshtein   → edit distance d                 (strsim.rs:146-159 semantics)
+  jaro          → match count m, raw transpositions t  (strsim.rs:200-237)
+  jaro_winkler  → m, t, shared prefix length ≤ 4  (strsim.rs:261-266)
+  jaccard/dice  → character-multiset intersection Σ_c min(cnt_a, cnt_b)
+                  (strsim.rs:297-306; denominators derive from lengths)
+
+All kernels are batched over B row pairs and vectorize the per-row loops of the
+reference into [B, L] lane operations; the only sequential dimensions are the
+2L-1 anti-diagonals of the Levenshtein DP and the L greedy steps of the Jaro
+match scan, both of which the reference also executes sequentially per row.
+
+Inputs are padded with PAD_A = -1 (a side) and PAD_B = -2 (b side): pads never
+equal each other or any real codepoint, so character-equality tests need no
+masking (strsim_tpu/utils/encode.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from strsim_tpu.utils.encode import PAD_A, PAD_B
+
+Array = jax.Array
+
+
+def _shift_right(x: Array, fill) -> Array:
+    """[B, W] → [B, W] with lanes moved one right; lane 0 = fill."""
+    return jnp.concatenate(
+        [jnp.full((x.shape[0], 1), fill, dtype=x.dtype), x[:, :-1]], axis=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein: anti-diagonal wavefront DP
+# ---------------------------------------------------------------------------
+
+def levenshtein_distance(
+    a: Array, b: Array, len_a: Array, len_b: Array
+) -> Array:
+    """Unit-cost edit distance per row pair.
+
+    Wavefront formulation: diag_d[i] = D[i][d-i] where D is the classic DP
+    table (D[i][j] = distance between a[:i] and b[:j]). Each anti-diagonal is
+    an elementwise min over two shifted copies of the previous diagonals — no
+    intra-step dependence, so the whole batch advances one diagonal per step
+    with pure [B, L+1] vector ops. 2L-1 sequential steps total.
+
+    Valid for rows with len_a >= 1 and len_b >= 1 (len_a + len_b >= 2); rows
+    involving an empty side are resolved exactly in the finalizer (distance =
+    max(len_a, len_b)), matching strsim.rs:160's formula.
+    """
+    B, L = a.shape
+    BIG = jnp.int32(2 * L + 5)
+
+    # Diagonal d, lane i needs b[d-i-1]. With b_rev = reverse(b) that is
+    # ext[2L - d + i] where ext = [PAD_B * L | b_rev | PAD_B * L], so each step
+    # reads one dynamic slice of a precomputed array.
+    b_rev = jnp.flip(b, axis=1)
+    pad = jnp.full((B, L), PAD_B, dtype=a.dtype)
+    ext = jnp.concatenate([pad, b_rev, pad], axis=1)
+
+    # Lane i compares a[i-1]; lane 0 is a boundary cell whose cost is ignored.
+    a_sh = jnp.concatenate([jnp.full((B, 1), PAD_A, dtype=a.dtype), a], axis=1)
+
+    ii = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    target_d = (len_a + len_b)[:, None]
+    lane_a = ii == len_a[:, None]
+
+    diag0 = jnp.where(ii == 0, 0, BIG).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
+    diag1 = jnp.where(ii <= 1, 1, BIG).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
+
+    def body(d, state):
+        prev, prev2, acc = state
+        bs = lax.dynamic_slice_in_dim(ext, 2 * L - d, L + 1, axis=1)
+        cost = (a_sh != bs).astype(jnp.int32)
+        new = jnp.minimum(
+            jnp.minimum(_shift_right(prev, BIG) + 1, prev + 1),
+            _shift_right(prev2, BIG) + cost,
+        )
+        valid = (ii <= d) & (d - ii <= L)
+        new = jnp.where(valid, new, BIG)
+        hit = (target_d == d) & lane_a & valid
+        acc = acc + jnp.sum(jnp.where(hit, new, 0), axis=1)
+        return new, prev, acc
+
+    _, _, dist = lax.fori_loop(
+        2, 2 * L + 1, body, (diag1, diag0, jnp.zeros((B,), jnp.int32))
+    )
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# Jaro: greedy windowed matching + ordered transposition count
+# ---------------------------------------------------------------------------
+
+def jaro_match_stats(
+    a: Array, b: Array, len_a: Array, len_b: Array
+) -> Tuple[Array, Array]:
+    """(m, t): greedy match count and raw transposition count (pre-halving).
+
+    The reference's greedy scan (strsim.rs:208-219) walks a's chars in order
+    and flags the FIRST unflagged equal b char inside the window
+    [i-bound, i+bound] ∩ [0, len_b). The loop-carried state is the b-side flag
+    vector; everything inside one step vectorizes across the batch and across
+    b positions (window mask + equality + first-true select).
+
+    Valid for rows where both sides are non-empty; empty rows yield m = 0.
+    """
+    B, L = a.shape
+    bound = (jnp.maximum(len_a, len_b) // 2 - 1).astype(jnp.int32)
+    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def body(i, state):
+        flagged_b, matched_a, m = state
+        a_i = lax.dynamic_slice_in_dim(a, i, 1, axis=1)  # [B, 1]
+        # strsim.rs:208 iterates only the first len_b + bound chars of a.
+        active = (i < len_a) & (i < len_b + bound)
+        win = (jj >= i - bound[:, None]) & (jj <= i + bound[:, None]) & (jj < len_b[:, None])
+        cand = (b == a_i) & (~flagged_b) & win & active[:, None]
+        found = jnp.any(cand, axis=1)
+        first = jnp.argmax(cand, axis=1)  # index of first True
+        flagged_b = flagged_b | ((jj == first[:, None]) & found[:, None])
+        matched_a = jnp.where(jj == i, found[:, None], matched_a)
+        m = m + found.astype(jnp.int32)
+        return flagged_b, matched_a, m
+
+    flagged_b, matched_a, m = lax.fori_loop(
+        0,
+        L,
+        body,
+        (
+            jnp.zeros((B, L), bool),
+            jnp.zeros((B, L), bool),
+            jnp.zeros((B,), jnp.int32),
+        ),
+    )
+
+    # Transpositions (strsim.rs:220-237): compact the matched chars of each
+    # side in positional order, then count pairwise mismatches among the first
+    # m slots. Stable argsort on the negated flag brings matched positions to
+    # the front without reordering them.
+    order_a = jnp.argsort(~matched_a, axis=1, stable=True)
+    order_b = jnp.argsort(~flagged_b, axis=1, stable=True)
+    am = jnp.take_along_axis(a, order_a, axis=1)
+    bm = jnp.take_along_axis(b, order_b, axis=1)
+    t = jnp.sum((am != bm) & (jj < m[:, None]), axis=1).astype(jnp.int32)
+    return m, t
+
+
+def shared_prefix_length(a: Array, b: Array) -> Array:
+    """Common prefix length capped at 4 chars (strsim.rs:261-266). Pads differ
+    between sides so comparisons past either length are False automatically."""
+    k = min(a.shape[1], 4)
+    eq = (a[:, :k] == b[:, :k]).astype(jnp.int32)
+    return jnp.sum(jnp.cumprod(eq, axis=1), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Jaccard / Sørensen-Dice: character-multiset intersection
+# ---------------------------------------------------------------------------
+
+def multiset_intersection(
+    a: Array, b: Array, len_a: Array, len_b: Array
+) -> Array:
+    """Σ_c min(cnt_a(c), cnt_b(c)) per row, without histograms.
+
+    Identity: the intersection size equals the number of positions i in a whose
+    occurrence index (count of equal chars strictly before i in a) is below the
+    total count of that char in b. Both counts come from [B, L, L] equality
+    tables — pure VPU compare+reduce, no scatter, vocabulary-independent (works
+    for arbitrary Unicode where a 1M-bin histogram would not fit).
+    """
+    del len_b  # pads encode b's validity
+    cnt_in_b = jnp.sum(a[:, :, None] == b[:, None, :], axis=2)
+    kk = jnp.arange(a.shape[1], dtype=jnp.int32)
+    before = kk[None, None, :] < kk[None, :, None]
+    occ = jnp.sum((a[:, :, None] == a[:, None, :]) & before, axis=2)
+    valid_i = kk[None, :] < len_a[:, None]
+    return jnp.sum((occ < cnt_in_b) & valid_i, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fused stats entry point
+# ---------------------------------------------------------------------------
+
+STAT_FIELDS = {
+    "levenshtein": ("lev_d",),
+    "jaro": ("jaro_m", "jaro_t"),
+    "jaro_winkler": ("jaro_m", "jaro_t", "prefix"),
+    "jaccard": ("inter",),
+    "sorensen_dice": ("inter",),
+}
+
+
+def compute_stats(
+    a: Array,
+    b: Array,
+    len_a: Array,
+    len_b: Array,
+    measures: Tuple[str, ...],
+) -> Dict[str, Array]:
+    """Compute the union of integer stats needed by `measures` on one tile
+    batch. Shared stats (jaro m/t for both jaro and jaro_winkler, intersection
+    for jaccard and dice) are computed once — this is the fused-measure mode
+    from BASELINE.json config 4."""
+    need = set()
+    for msr in measures:
+        need.update(STAT_FIELDS[msr])
+    out: Dict[str, Array] = {}
+    if "lev_d" in need:
+        out["lev_d"] = levenshtein_distance(a, b, len_a, len_b)
+    if "jaro_m" in need:
+        out["jaro_m"], out["jaro_t"] = jaro_match_stats(a, b, len_a, len_b)
+    if "prefix" in need:
+        out["prefix"] = shared_prefix_length(a, b)
+    if "inter" in need:
+        out["inter"] = multiset_intersection(a, b, len_a, len_b)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("measures",))
+def compute_stats_jit(a, b, len_a, len_b, measures: Tuple[str, ...]):
+    return compute_stats(a, b, len_a, len_b, measures)

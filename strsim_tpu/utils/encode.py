@@ -1,0 +1,153 @@
+"""Host-side string ingestion: columns of strings → codepoint arrays.
+
+The reference decodes UTF-8 per row into reusable Vec<char> scratch buffers
+inside each kernel (src/expressions/strsim.rs:131-140). A TPU engine needs the
+opposite shape: decode the WHOLE column up front into a rectangular codepoint
+tile that can be shipped to HBM in one transfer.
+
+Fast path: numpy's fixed-width unicode dtype ('<U{L}') stores UCS4 codepoints.
+`np.asarray(list_of_str, dtype='U{L}')` is a single C-speed pass that yields a
+[N, L] uint32 codepoint matrix — an exact per-Unicode-scalar decode with no
+Python-level loop. Lengths come from the validity of codepoint 0 handling:
+we compute true lengths with np.char.str_len (C speed) so NUL characters inside
+strings are still handled exactly.
+
+Arrow ingestion (offsets + UTF-8 data + validity bitmap) is handled by the
+native C++ extension (strsim_tpu/native) with a numpy fallback here.
+
+Padding sentinels: PAD_A = -1 and PAD_B = -2 (as int32). Real codepoints are
+>= 0, so a-pad never equals b-pad and neither equals any real character —
+kernels need no extra validity masks on character equality.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PAD_A = -1
+PAD_B = -2
+
+if hasattr(np, "strings"):  # numpy >= 2.0
+    _str_len = np.strings.str_len
+else:  # pragma: no cover
+    _str_len = np.char.str_len
+
+
+@dataclasses.dataclass
+class EncodedColumn:
+    """A decoded string column.
+
+    codes:    [N, L] int32 codepoints, PAD-filled past each row's length
+              (pad value chosen by the caller via `pad`).
+    lengths:  [N] int32 codepoint counts (0 for null rows).
+    validity: [N] bool — False where the input was null (None).
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+    validity: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.codes.shape[1]
+
+
+def _to_object_array(col) -> np.ndarray:
+    """Normalize any supported column input to a 1-D object ndarray of str|None."""
+    # polars Series / arrow arrays expose to_list; plain lists/tuples pass through.
+    if hasattr(col, "to_list"):
+        col = col.to_list()
+    elif hasattr(col, "to_pylist"):
+        col = col.to_pylist()
+    if isinstance(col, np.ndarray) and col.dtype != object:
+        col = col.tolist()
+    arr = np.empty(len(col), dtype=object)
+    arr[:] = list(col)
+    return arr
+
+
+def encode_column(col, pad: int = PAD_A, width: Optional[int] = None) -> EncodedColumn:
+    """Decode a column of str|None into an EncodedColumn.
+
+    `width`: pad/truncate-check target width; defaults to the max row length
+    (min 1 so empty columns still produce a [N, 1] array).
+    """
+    arr = _to_object_array(col)
+    n = arr.shape[0]
+    validity = np.ones(n, dtype=bool)
+    for i, v in enumerate(arr):
+        if v is None:
+            validity[i] = False
+            arr[i] = ""
+        elif not isinstance(v, str):
+            raise TypeError(f"expected str or None at row {i}, got {type(v).__name__}")
+
+    if n == 0:
+        w = width or 1
+        return EncodedColumn(
+            codes=np.full((0, w), pad, dtype=np.int32),
+            lengths=np.zeros(0, dtype=np.int32),
+            validity=validity,
+        )
+
+    u = np.asarray(arr, dtype=str)  # one C pass: object strs → UCS4 '<Umax'
+    lengths = _str_len(u).astype(np.int32)
+    max_len = int(lengths.max()) if n else 0
+    w = width if width is not None else max(max_len, 1)
+    if max_len > w:
+        raise ValueError(f"width {w} smaller than longest row ({max_len})")
+    if u.dtype.itemsize != 4 * w:
+        u = u.astype(f"<U{w}")
+    codes = u.view(np.uint32).reshape(n, w).astype(np.int32)
+    mask = np.arange(w, dtype=np.int32)[None, :] < lengths[:, None]
+    codes = np.where(mask, codes, np.int32(pad))
+    return EncodedColumn(codes=codes, lengths=lengths, validity=validity)
+
+
+def encode_pair(
+    col_a, col_b, width: Optional[int] = None
+) -> Tuple[EncodedColumn, EncodedColumn]:
+    """Encode two columns with a shared tile width (needed by paired kernels)."""
+    a = encode_column(col_a, pad=PAD_A, width=None)
+    b = encode_column(col_b, pad=PAD_B, width=None)
+    w = width if width is not None else max(a.width, b.width)
+    a = _repad(a, PAD_A, w)
+    b = _repad(b, PAD_B, w)
+    return a, b
+
+
+def _repad(c: EncodedColumn, pad: int, width: int) -> EncodedColumn:
+    if c.width == width:
+        return c
+    if c.width > width:
+        raise ValueError("cannot shrink below content width")
+    extra = np.full((c.n, width - c.width), pad, dtype=np.int32)
+    return EncodedColumn(
+        codes=np.concatenate([c.codes, extra], axis=1),
+        lengths=c.lengths,
+        validity=c.validity,
+    )
+
+
+def decode_row(codes: np.ndarray, length: int) -> str:
+    """Inverse of encode (for tests): codepoints → str."""
+    return "".join(chr(int(c)) for c in codes[:length])
+
+
+def equal_rows(a: EncodedColumn, b: EncodedColumn) -> np.ndarray:
+    """Vectorized per-row string equality (the reference's a == b fast path,
+    src/expressions/strsim.rs:128). Pads differ between sides, so padded tails
+    never compare equal — equality over the full tile plus a length check is
+    exact."""
+    same_len = a.lengths == b.lengths
+    w = a.codes.shape[1]
+    pos = np.arange(w, dtype=np.int32)[None, :]
+    in_a = pos < a.lengths[:, None]
+    eq = np.all((a.codes == b.codes) | ~in_a, axis=1)
+    return same_len & eq

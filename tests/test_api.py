@@ -1,0 +1,115 @@
+"""End-to-end API tests: golden parity through the full pipeline, the README
+demo table (README.md:59-72), null propagation, broadcast rules, and shape
+errors (src/expressions/strsim.rs:41-107 semantics)."""
+import math
+
+import numpy as np
+import pytest
+
+import strsim_tpu as st
+from strsim_tpu.ops.oracle import ORACLES
+
+THRESHOLD = 1e-8
+
+
+@pytest.mark.parametrize("measure", sorted(ORACLES))
+def test_golden_through_pipeline(golden, measure):
+    cases = golden[measure]
+    col_a = [a for a, _, _ in cases]
+    col_b = [b for _, b, _ in cases]
+    got = st.compute(measure, col_a, col_b)
+    want = np.array([e for _, _, e in cases])
+    assert np.all(np.abs(got - want) < THRESHOLD)
+
+
+@pytest.mark.parametrize("measure", sorted(ORACLES))
+def test_bitexact_vs_oracle(golden, measure):
+    """Stronger than the golden tolerance: pipeline scores must be bit-for-float
+    identical to the oracle (which evaluates the reference's f64 formulas)."""
+    cases = golden[measure]
+    col_a = [a for a, _, _ in cases]
+    col_b = [b for _, b, _ in cases]
+    got = st.compute(measure, col_a, col_b)
+    want = np.array([ORACLES[measure](a, b) for a, b, _ in cases])
+    assert got.tobytes() == want.tobytes()
+
+
+def test_readme_demo_table():
+    """README.md:59-72 — exact expected values incl. empty and null rows."""
+    name_a = ["phillips", "phillips", "", "", None, None]
+    name_b = ["phillips", "philips", "phillips", "", "phillips", None]
+    expected = {
+        "levenshtein": [1.0, 0.875, 0.0, 1.0, None, None],
+        "jaro": [1.0, 0.9583333333333334, 0.0, 1.0, None, None],
+        "jaro_winkler": [1.0, 0.975, 0.0, 1.0, None, None],
+        "jaccard": [1.0, 0.875, 0.0, 1.0, None, None],
+        "sorensen_dice": [1.0, 0.9333333333333333, 0.0, 1.0, None, None],
+    }
+    out = st.compute_many(list(expected), name_a, name_b)
+    for measure, want in expected.items():
+        got = out[measure]
+        for i, w in enumerate(want):
+            if w is None:
+                assert math.isnan(got[i]), (measure, i)
+            else:
+                assert abs(got[i] - w) < 1e-12, (measure, i, got[i], w)
+
+
+def test_null_propagation():
+    values, validity = st.compute_with_validity(
+        "jaro", ["a", None, "c", None], ["a", "b", None, None]
+    )
+    assert list(validity) == [True, False, False, False]
+    assert values[0] == 1.0 and all(math.isnan(v) for v in values[1:])
+
+
+def test_broadcast_literal():
+    got = st.compute("levenshtein", ["smith", "smyth", None], st.lit("smith"))
+    assert got[0] == 1.0
+    assert abs(got[1] - 0.8) < 1e-12
+    assert math.isnan(got[2])
+    # bare str in array mode is a broadcast literal too
+    got2 = st.compute("levenshtein", "smith", ["smith", "smyth"])
+    assert got2[0] == 1.0 and abs(got2[1] - 0.8) < 1e-12
+
+
+def test_shape_mismatch_raises():
+    with pytest.raises(ValueError, match="same length"):
+        st.compute("jaro", ["a", "b"], ["a", "b", "c"])
+
+
+def test_null_literal_raises():
+    with pytest.raises(ValueError, match="null literal"):
+        st.compute("jaro", ["a", "b"], st.lit(None))
+
+
+def test_mixed_length_bucketing():
+    """Rows spanning several buckets (incl. >512 overflow) come back in order."""
+    rng = np.random.default_rng(7)
+    cases = [
+        ("a" * 5, "a" * 4),
+        ("b" * 30, "b" * 31),
+        ("c" * 100, "c" * 90),
+        ("d" * 600, "d" * 601),  # beyond the largest standard bucket
+        ("x", "y"),
+    ]
+    col_a = [a for a, _ in cases]
+    col_b = [b for _, b in cases]
+    for measure in ("levenshtein", "jaccard"):
+        got = st.compute(measure, col_a, col_b)
+        want = np.array([ORACLES[measure](a, b) for a, b in cases])
+        assert got.tobytes() == want.tobytes(), measure
+
+
+def test_empty_column():
+    got = st.compute("jaro", [], [])
+    assert got.shape == (0,)
+
+
+def test_config_override():
+    cfg = st.get_config().replace(equal_fast_path=False, buckets=(8, 16))
+    got = st.compute("levenshtein", ["same", "longer-than-sixteen-chars"],
+                     ["same", "longer-than-sixteen-chars!"], config=cfg)
+    assert got[0] == 1.0
+    want = ORACLES["levenshtein"]("longer-than-sixteen-chars", "longer-than-sixteen-chars!")
+    assert got[1] == want

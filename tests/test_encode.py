@@ -1,0 +1,64 @@
+"""Ingestion layer: vectorized UCS4 decode, padding sentinels, equality scan."""
+import numpy as np
+import pytest
+
+from strsim_tpu.utils import encode as enc
+
+
+def test_basic_roundtrip():
+    col = ["abc", "", "héllo", None, "日本語x"]
+    e = enc.encode_column(col)
+    assert e.codes.shape[0] == 5
+    assert list(e.lengths) == [3, 0, 5, 0, 4]
+    assert list(e.validity) == [True, True, True, False, True]
+    for i, s in enumerate(col):
+        if s is not None:
+            assert enc.decode_row(e.codes[i], int(e.lengths[i])) == s
+
+
+def test_padding_sentinels():
+    a = enc.encode_column(["ab"], pad=enc.PAD_A, width=4)
+    b = enc.encode_column(["ab"], pad=enc.PAD_B, width=4)
+    assert list(a.codes[0]) == [97, 98, enc.PAD_A, enc.PAD_A]
+    assert list(b.codes[0]) == [97, 98, enc.PAD_B, enc.PAD_B]
+    # pads never equal each other nor any codepoint
+    assert enc.PAD_A != enc.PAD_B and enc.PAD_A < 0 and enc.PAD_B < 0
+
+
+def test_astral_plane():
+    e = enc.encode_column(["a𝄞b"])  # 𝄞 = U+1D11E, one scalar
+    assert int(e.lengths[0]) == 3
+    assert list(e.codes[0]) == [ord("a"), 0x1D11E, ord("b")]
+
+
+def test_nul_char_inside_string():
+    e = enc.encode_column(["a\x00b"])
+    assert int(e.lengths[0]) == 3
+    assert list(e.codes[0])[:3] == [97, 0, 98]
+
+
+def test_equal_rows():
+    a, b = enc.encode_pair(["same", "diff1", "", "ab"], ["same", "diff2", "", "abc"])
+    assert list(enc.equal_rows(a, b)) == [True, False, True, False]
+
+
+def test_encode_pair_shared_width():
+    a, b = enc.encode_pair(["a"], ["longerstring"])
+    assert a.width == b.width == 12
+
+
+def test_empty_and_all_empty_columns():
+    e = enc.encode_column([])
+    assert e.n == 0
+    e2 = enc.encode_column(["", ""])
+    assert e2.width == 1 and list(e2.lengths) == [0, 0]
+
+
+def test_non_string_raises():
+    with pytest.raises(TypeError):
+        enc.encode_column(["ok", 3])
+
+
+def test_width_too_small_raises():
+    with pytest.raises(ValueError):
+        enc.encode_column(["abcdef"], width=3)

@@ -1,0 +1,129 @@
+"""Device kernels (XLA integer-stat path) vs the trusted oracle.
+
+The kernels must produce the oracle's exact integer statistics — distance,
+jaro (m, t), prefix length, multiset intersection — on golden strings and on
+randomized Unicode fuzz inputs.
+"""
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from strsim_tpu.ops import oracle, stats
+from strsim_tpu.utils import encode as enc
+
+
+def _tiles(pairs, width=None):
+    a = enc.encode_column([p[0] for p in pairs], pad=enc.PAD_A, width=width)
+    b = enc.encode_column([p[1] for p in pairs], pad=enc.PAD_B, width=width)
+    w = width or max(a.width, b.width)
+    a = enc._repad(a, enc.PAD_A, w)
+    b = enc._repad(b, enc.PAD_B, w)
+    return (
+        jnp.asarray(a.codes),
+        jnp.asarray(b.codes),
+        jnp.asarray(a.lengths),
+        jnp.asarray(b.lengths),
+    )
+
+
+def _nonempty(pairs):
+    return [(a, b) for a, b in pairs if a and b]
+
+
+def _rand_pairs(rng, n, maxlen, alphabet):
+    out = []
+    for _ in range(n):
+        la = rng.randrange(0, maxlen + 1)
+        lb = rng.randrange(0, maxlen + 1)
+        out.append(
+            (
+                "".join(rng.choice(alphabet) for _ in range(la)),
+                "".join(rng.choice(alphabet) for _ in range(lb)),
+            )
+        )
+    return out
+
+
+ALPHABETS = [
+    "ab",  # high collision rate → stresses greedy matching and transpositions
+    "abcde",
+    "abcdefghijklmnopqrstuvwxyz",
+    "aé日𝄞",  # multi-plane Unicode incl. astral 𝄞
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_pairs():
+    rng = random.Random(20260816)
+    pairs = []
+    for alphabet in ALPHABETS:
+        pairs += _rand_pairs(rng, 120, 12, alphabet)
+        pairs += _rand_pairs(rng, 30, 50, alphabet)
+    return pairs
+
+
+def test_levenshtein_kernel_golden(golden):
+    pairs = _nonempty([(a, b) for a, b, _ in golden["levenshtein"]])
+    ca, cb, la, lb = _tiles(pairs)
+    d = np.asarray(stats.levenshtein_distance(ca, cb, la, lb))
+    want = np.array([oracle.levenshtein_distance(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(d, want)
+
+
+def test_levenshtein_kernel_fuzz(fuzz_pairs):
+    pairs = _nonempty(fuzz_pairs)
+    ca, cb, la, lb = _tiles(pairs)
+    d = np.asarray(stats.levenshtein_distance(ca, cb, la, lb))
+    want = np.array([oracle.levenshtein_distance(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(d, want)
+
+
+def test_jaro_kernel_golden(golden):
+    pairs = _nonempty(
+        [(a, b) for a, b, _ in golden["jaro"] + golden["jaro_winkler"]]
+    )
+    pairs = [(a, b) for a, b in pairs if not (len(a) == 1 and len(b) == 1)]
+    ca, cb, la, lb = _tiles(pairs)
+    m, t = (np.asarray(x) for x in stats.jaro_match_stats(ca, cb, la, lb))
+    want = [oracle.jaro_stats(a, b) for a, b in pairs]
+    np.testing.assert_array_equal(m, np.array([w[0] for w in want]))
+    np.testing.assert_array_equal(t, np.array([w[1] for w in want]))
+
+
+def test_jaro_kernel_fuzz(fuzz_pairs):
+    pairs = [
+        (a, b)
+        for a, b in _nonempty(fuzz_pairs)
+        if not (len(a) == 1 and len(b) == 1)
+    ]
+    ca, cb, la, lb = _tiles(pairs)
+    m, t = (np.asarray(x) for x in stats.jaro_match_stats(ca, cb, la, lb))
+    want = [oracle.jaro_stats(a, b) for a, b in pairs]
+    np.testing.assert_array_equal(m, np.array([w[0] for w in want]))
+    np.testing.assert_array_equal(t, np.array([w[1] for w in want]))
+
+
+def test_prefix_kernel(fuzz_pairs):
+    pairs = _nonempty(fuzz_pairs)
+    ca, cb, la, lb = _tiles(pairs)
+    p = np.asarray(stats.shared_prefix_length(ca, cb))
+    want = np.array([oracle.shared_prefix_length(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(p, want)
+
+
+def test_multiset_kernel_golden(golden):
+    pairs = _nonempty([(a, b) for a, b, _ in golden["jaccard"]])
+    ca, cb, la, lb = _tiles(pairs)
+    inter = np.asarray(stats.multiset_intersection(ca, cb, la, lb))
+    want = np.array([oracle.multiset_intersection(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(inter, want)
+
+
+def test_multiset_kernel_fuzz(fuzz_pairs):
+    pairs = _nonempty(fuzz_pairs)
+    ca, cb, la, lb = _tiles(pairs)
+    inter = np.asarray(stats.multiset_intersection(ca, cb, la, lb))
+    want = np.array([oracle.multiset_intersection(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(inter, want)

@@ -1,0 +1,82 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest sets
+xla_force_host_platform_device_count=8, SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from strsim_tpu.parallel import mesh as pmesh
+from strsim_tpu.parallel import partition as part
+from strsim_tpu.ops import oracle
+from strsim_tpu.utils import encode as enc
+
+
+def _tiles(col_a, col_b, width):
+    a = enc.encode_column(col_a, pad=enc.PAD_A, width=width)
+    b = enc.encode_column(col_b, pad=enc.PAD_B, width=width)
+    return (
+        jnp.asarray(a.codes),
+        jnp.asarray(b.codes),
+        jnp.asarray(a.lengths),
+        jnp.asarray(b.lengths),
+    )
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_stats_match_oracle():
+    words = ["phillips", "philips", "smith", "smyth", "johnson", "jonson", "x", "yz"]
+    col_a = [words[i % len(words)] for i in range(64)]
+    col_b = [words[(i * 3 + 1) % len(words)] for i in range(64)]
+    mesh = pmesh.make_mesh(jax.devices())
+    step = pmesh.sharded_stats_fn(("levenshtein", "jaccard"), mesh)
+    args = pmesh.device_put_sharded_batch(_tiles(col_a, col_b, 8), mesh)
+    out = step(*args)
+    want_d = np.array([oracle.levenshtein_distance(a, b) for a, b in zip(col_a, col_b)])
+    want_i = np.array([oracle.multiset_intersection(a, b) for a, b in zip(col_a, col_b)])
+    np.testing.assert_array_equal(np.asarray(out["lev_d"]), want_d)
+    np.testing.assert_array_equal(np.asarray(out["inter"]), want_i)
+
+
+def test_sharded_output_is_batch_sharded():
+    mesh = pmesh.make_mesh(jax.devices())
+    step = pmesh.sharded_stats_fn(("jaccard",), mesh)
+    col = ["abc"] * 32
+    args = pmesh.device_put_sharded_batch(_tiles(col, col, 8), mesh)
+    out = step(*args)
+    shards = out["inter"].addressable_shards
+    assert len(shards) == 8
+    assert all(s.data.shape == (4,) for s in shards)
+
+
+def test_split_offsets_matches_reference_shape():
+    # strsim.rs:21-39: equal chunks, last absorbs remainder
+    assert part.split_offsets(10, 3) == [(0, 3), (3, 3), (6, 4)]
+    assert part.split_offsets(5, 1) == [(0, 5)]
+    assert part.split_offsets(0, 4) == [(0, 0)]
+
+
+def test_cost_balanced_partition_beats_equal_split_on_skew():
+    rng = np.random.default_rng(3)
+    # 10% of rows are 16x longer — the skew scenario from the north star
+    la = np.where(rng.random(4000) < 0.1, 480, 30).astype(np.int64)
+    lb = la.copy()
+    costs = part.row_cost(la, lb, ["levenshtein"], buckets=(8, 16, 32, 64, 128, 256, 512))
+    k = 8
+    balanced = part.cost_balanced_partition(costs, k)
+    # every row assigned exactly once
+    all_idx = np.sort(np.concatenate(balanced))
+    np.testing.assert_array_equal(all_idx, np.arange(4000))
+    eff_balanced = part.balance_report(costs, balanced)["scaling_efficiency"]
+    equal = [np.arange(off, off + ln) for off, ln in part.split_offsets(4000, k)]
+    eff_equal = part.balance_report(costs, equal)["scaling_efficiency"]
+    assert eff_balanced >= 0.8
+    assert eff_balanced >= eff_equal
+
+
+def test_row_cost_monotone_in_length():
+    la = np.array([4, 40, 400])
+    c = part.row_cost(la, la, ["levenshtein", "jaro"], buckets=(8, 16, 32, 64, 128, 256, 512))
+    assert c[0] < c[1] < c[2]
