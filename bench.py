@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""tpu-strsim benchmark harness.
+
+Headline metric (BASELINE.md): levenshtein pairs/sec/chip on 1M name pairs
+(len ≤ 64), end-to-end (pre-encoded tiles → device → exact f64 scores), vs a
+single-core native C++ baseline implementing the reference's scalar algorithms
+(the local stand-in for single-core Rust — the reference publishes no numbers).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+and writes BENCH_DETAILS.json with per-measure numbers and parity checks.
+
+Robustness: each measure runs in a worker subprocess with a timeout + retry —
+the TPU remote-compile tunnel can hang individual requests; the persistent XLA
+compile cache makes retries incremental. Workers are serialized (one TPU
+client at a time).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SEED = 20260816
+N_PAIRS = 1_000_000
+BASELINE_SUBSET = 200_000
+WORKER_TIMEOUT_S = int(os.environ.get("STRSIM_BENCH_WORKER_TIMEOUT", "420"))
+WORKER_RETRIES = 2
+
+_T0 = time.time()
+
+
+def _log(msg: str) -> None:
+    if os.environ.get("STRSIM_BENCH_QUIET") != "1":
+        print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+FIRST = [
+    "john", "mary", "james", "patricia", "robert", "jennifer", "michael",
+    "linda", "william", "elizabeth", "david", "barbara", "richard", "susan",
+    "joseph", "jessica", "thomas", "sarah", "christopher", "karen",
+]
+LAST = [
+    "phillips", "philips", "smith", "smyth", "johnson", "jonson", "williams",
+    "brown", "jones", "garcia", "miller", "davis", "rodriguez", "martinez",
+    "hernandez", "lopez", "gonzalez", "wilson", "anderson", "macdonald",
+    "mcdonald", "featherstone", "featherston", "shackelford", "shackleford",
+    "chamberlain", "chamberlin", "baumgardner", "bumgardner", "renkenberger",
+]
+
+
+def make_pairs(n: int, seed: int = SEED):
+    """Genealogy-flavored name pairs, len ≤ 64: mostly short surnames, a tail
+    of long multi-token names, some equal pairs, some empties/nulls."""
+    rng = np.random.default_rng(seed)
+    first = rng.choice(FIRST, size=n)
+    last = rng.choice(LAST, size=n)
+    last2 = rng.choice(LAST, size=n)
+    r = rng.random(n)
+    col_a = np.empty(n, dtype=object)
+    col_b = np.empty(n, dtype=object)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    sub = rng.integers(0, 26, size=n)
+    for i in range(n):
+        a = last[i]
+        if r[i] < 0.05:  # long rows: full names, up to ~64 chars
+            a = f"{first[i]} {last[i]} {last2[i]} {first[(i * 7) % n]}"[:64]
+            b = f"{first[i]} {last2[i]} {last[i]}"[:64]
+        elif r[i] < 0.15:  # equal pair
+            b = a
+        elif r[i] < 0.17:  # empty side
+            b = ""
+        else:  # near-duplicate: one substituted char
+            bb = list(last2[i])
+            bb[int(r[i] * 100) % len(bb)] = letters[sub[i]]
+            b = "".join(bb)
+        col_a[i] = a
+        col_b[i] = b
+    null_idx = rng.choice(n, size=n // 200, replace=False)
+    for i in null_idx[: len(null_idx) // 2]:
+        col_a[i] = None
+    for i in null_idx[len(null_idx) // 2 :]:
+        col_b[i] = None
+    return col_a, col_b
+
+
+def _encoded_pair(n):
+    from strsim_tpu.utils import encode as enc
+
+    col_a, col_b = make_pairs(n)
+    a = enc.encode_column(col_a, pad=enc.PAD_A)
+    b = enc.encode_column(col_b, pad=enc.PAD_B)
+    w = max(a.width, b.width)
+    a = enc._repad(a, enc.PAD_A, w)
+    b = enc._repad(b, enc.PAD_B, w)
+    return a, b
+
+
+def worker(measures_csv: str, out_path: str) -> None:
+    """Benchmark one measure set end-to-end; write a JSON result file."""
+    from strsim_tpu.models.pipeline import compute_scores
+    from strsim_tpu.native import native_compute, native_available
+
+    measures = tuple(measures_csv.split(","))
+    a, b = _encoded_pair(N_PAIRS)
+    validity = a.validity & b.validity
+    _log(f"worker[{measures_csv}]: encoded {N_PAIRS:,} pairs (width {a.width})")
+
+    result = {"measures": measures_csv, "n_pairs": N_PAIRS}
+
+    if len(measures) == 1 and native_available():
+        t0 = time.perf_counter()
+        base_out = native_compute(
+            measures[0],
+            a.codes[:BASELINE_SUBSET],
+            a.lengths[:BASELINE_SUBSET],
+            b.codes[:BASELINE_SUBSET],
+            b.lengths[:BASELINE_SUBSET],
+            validity[:BASELINE_SUBSET],
+        )
+        base_dt = time.perf_counter() - t0
+        result["baseline_single_core_pairs_per_sec"] = BASELINE_SUBSET / base_dt
+        _log(f"worker[{measures_csv}]: native {BASELINE_SUBSET / base_dt:,.0f} pairs/s")
+
+    # warm-up: compile all (bucket, block) shapes on a slice
+    t0 = time.perf_counter()
+    compute_scores(a.slice(0, 4096), b.slice(0, 4096), measures)
+    _log(f"worker[{measures_csv}]: warm slice done ({time.perf_counter() - t0:.1f}s)")
+    t0 = time.perf_counter()
+    compute_scores(a.slice(0, 131072), b.slice(0, 131072), measures)
+    _log(f"worker[{measures_csv}]: warm full-shape done ({time.perf_counter() - t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    res = compute_scores(a, b, measures)
+    dt = time.perf_counter() - t0
+    result["tpu_pairs_per_sec"] = N_PAIRS / dt
+    result["tpu_wall_s"] = dt
+    _log(f"worker[{measures_csv}]: tpu {N_PAIRS / dt:,.0f} pairs/s ({dt:.2f}s)")
+
+    if len(measures) == 1 and "baseline_single_core_pairs_per_sec" in result:
+        values, _ = res[measures[0]]
+        parity = values[:BASELINE_SUBSET].tobytes() == base_out.tobytes()
+        result["bit_exact_parity"] = bool(parity)
+        result["speedup_vs_single_core"] = (
+            result["tpu_pairs_per_sec"] / result["baseline_single_core_pairs_per_sec"]
+        )
+
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def run_worker_with_retry(measures_csv: str, out_path: str):
+    for attempt in range(WORKER_RETRIES + 1):
+        try:
+            if os.path.exists(out_path):
+                os.unlink(out_path)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", measures_csv, out_path],
+                timeout=WORKER_TIMEOUT_S,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode == 0 and os.path.exists(out_path):
+                with open(out_path) as f:
+                    return json.load(f)
+            _log(f"worker[{measures_csv}] attempt {attempt}: rc={proc.returncode}")
+        except subprocess.TimeoutExpired:
+            _log(f"worker[{measures_csv}] attempt {attempt}: timeout after {WORKER_TIMEOUT_S}s")
+    return None
+
+
+ALL_MEASURES = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
+
+
+def main():
+    details = {"n_pairs": N_PAIRS, "measures": {}}
+    headline = None
+    for measure in ALL_MEASURES:
+        r = run_worker_with_retry(measure, f"/tmp/strsim_bench_{measure}.json")
+        if r is not None:
+            details["measures"][measure] = r
+            if measure == "levenshtein":
+                headline = r
+    fused = run_worker_with_retry(",".join(ALL_MEASURES), "/tmp/strsim_bench_fused.json")
+    if fused is not None:
+        details["fused"] = fused
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    if headline is None:
+        print(json.dumps({
+            "metric": "levenshtein_pairs_per_sec_1M_len64_e2e",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": "benchmark worker failed/hung (TPU tunnel)",
+        }))
+        return
+    print(json.dumps({
+        "metric": "levenshtein_pairs_per_sec_1M_len64_e2e",
+        "value": round(headline["tpu_pairs_per_sec"], 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(headline.get("speedup_vs_single_core", 0.0), 2),
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], sys.argv[3])
+    else:
+        main()

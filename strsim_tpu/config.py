@@ -31,8 +31,8 @@ class StrsimConfig:
 
     # Kernel implementation per measure family: "xla" (pure jnp, fused by XLA)
     # or "pallas" (hand-written Mosaic kernels with explicit VMEM residency).
-    levenshtein_impl: str = "pallas"
-    jaro_impl: str = "pallas"
+    levenshtein_impl: str = "xla"
+    jaro_impl: str = "xla"
     multiset_impl: str = "xla"
 
     # Pallas grid block size (rows per grid step). Must be a multiple of 8.

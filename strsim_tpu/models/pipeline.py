@@ -33,14 +33,13 @@ from strsim_tpu.utils.encode import EncodedColumn
 
 
 def _round_batch(n: int, cfg: StrsimConfig) -> int:
-    """Round a bucket batch up to a size from a small fixed menu, bounding the
-    number of distinct compiled shapes per bucket width."""
-    b = cfg.min_batch
-    while b < n and b < cfg.max_batch_block:
-        b *= 2
-    if b >= n:
-        return b
-    return ((n + cfg.max_batch_block - 1) // cfg.max_batch_block) * cfg.max_batch_block
+    """Round a bucket batch up to a size from a tiny fixed menu {4096, block},
+    bounding distinct compiled shapes per bucket width to at most two. Remote
+    TPU compiles are expensive (tens of seconds through the compile tunnel),
+    so shape diversity costs far more than padded rows."""
+    if n <= 4096:
+        return 4096
+    return cfg.max_batch_block
 
 
 def _block_rows(width: int, cfg: StrsimConfig, measures: Tuple[str, ...]) -> int:
@@ -48,7 +47,7 @@ def _block_rows(width: int, cfg: StrsimConfig, measures: Tuple[str, ...]) -> int
     compare tables; cap its footprint. Other kernels are [B, L]."""
     need_multiset = any("inter" in STAT_FIELDS[m] for m in measures)
     cap = cfg.max_batch_block
-    if need_multiset:
+    if need_multiset:  # [B, L, L] compare tables: keep under ~16M elements
         cap = min(cap, max(cfg.min_batch, (1 << 24) // max(width * width, 1)))
     # keep to powers of two for a compact compile cache
     b = cfg.min_batch
@@ -58,16 +57,48 @@ def _block_rows(width: int, cfg: StrsimConfig, measures: Tuple[str, ...]) -> int
 
 
 _kernel_cache: Dict[Tuple, object] = {}
+_cache_configured = False
 
 
-def _get_kernel(measures: Tuple[str, ...]):
-    """A jitted fused-stats kernel (specializes per input shape via jit cache)."""
-    fn = _kernel_cache.get(measures)
+def _ensure_compile_cache() -> None:
+    """Persistent on-disk XLA compile cache: kernel compiles survive process
+    restarts (first TPU compile through a remote-compile tunnel can take tens
+    of seconds; the cache makes it once-per-machine instead of once-per-run)."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    import os
+
+    if os.environ.get("TPU_STRSIM_JAX_CACHE", "1") != "0":
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/tpu-strsim/jaxcache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
+
+
+def _get_kernel(measures: Tuple[str, ...], impls: Tuple[Tuple[str, str], ...]):
+    """A jitted fused-stats kernel, cached by the union of stat fields (not by
+    measure names) so e.g. jaccard and sorensen_dice share one compile."""
+    fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
+    # map the field set back to a canonical measure tuple covering it
+    canonical = tuple(
+        sorted(m for m in STAT_FIELDS if set(STAT_FIELDS[m]) <= set(fields))
+    )
+    key = (fields, impls)
+    fn = _kernel_cache.get(key)
     if fn is None:
+        _ensure_compile_cache()
         from strsim_tpu.ops.stats import compute_stats
 
-        fn = jax.jit(lambda a, b, la, lb: compute_stats(a, b, la, lb, measures))
-        _kernel_cache[measures] = fn
+        fn = jax.jit(
+            lambda a, b, la, lb: compute_stats(a, b, la, lb, canonical, impls)
+        )
+        _kernel_cache[key] = fn
     return fn
 
 
@@ -166,7 +197,12 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg):
     lens_b = lb[sel]
 
     block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
-    kernel = _get_kernel(measures)
+    impls = (
+        ("levenshtein", cfg.levenshtein_impl),
+        ("jaro", cfg.jaro_impl),
+        ("multiset", cfg.multiset_impl),
+    )
+    kernel = _get_kernel(measures, impls)
     need = sorted({f for m in measures for f in STAT_FIELDS[m]})
     stats_np = {f: np.zeros(sel.size, dtype=np.int64) for f in need}
 

@@ -1,0 +1,83 @@
+"""On-demand build + ctypes load of the native host library.
+
+No pybind11 in this environment; the ABI is plain C (extern "C") driven via
+ctypes with numpy buffers. The library is built once per source hash into
+~/.cache/tpu-strsim/ and memoized.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+_SRC = pathlib.Path(__file__).parent / "strsim_host.cpp"
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _cache_dir() -> pathlib.Path:
+    d = pathlib.Path(os.environ.get("TPU_STRSIM_CACHE", "~/.cache/tpu-strsim")).expanduser()
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+_CXXFLAGS = [
+    "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+    # bit-for-float parity with the reference requires strict IEEE ops:
+    # no FMA contraction (x*y+z fused changes the last ulp of winkler)
+    "-ffp-contract=off",
+]
+
+
+def build_library() -> pathlib.Path:
+    src = _SRC.read_bytes() + " ".join(_CXXFLAGS).encode()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _cache_dir() / f"strsim_host_{tag}.so"
+    if out.exists():
+        return out
+    tmp = out.with_suffix(".so.tmp")
+    cmd = ["g++", *_CXXFLAGS, str(_SRC), "-o", str(tmp)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    tmp.replace(out)
+    return out
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if the toolchain is unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        try:
+            lib = ctypes.CDLL(str(build_library()))
+        except Exception:
+            return None
+        i8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.strsim_decode_utf8_column.restype = ctypes.c_int64
+        lib.strsim_decode_utf8_column.argtypes = [
+            i8p, i64p, i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p,
+        ]
+        lib.strsim_utf8_max_chars.restype = ctypes.c_int64
+        lib.strsim_utf8_max_chars.argtypes = [i8p, i64p, i8p, ctypes.c_int64]
+        lib.strsim_compute.restype = None
+        lib.strsim_compute.argtypes = [
+            ctypes.c_int32, i32p, i64p, i32p, i64p, i8p, ctypes.c_int64, f64p,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None

@@ -1,0 +1,295 @@
+// Native host runtime for tpu-strsim.
+//
+// Two roles (fresh C++, designed for this engine — not a translation of the
+// reference's Rust, whose behavior it must nonetheless match exactly;
+// semantics cited from /root/reference/src/expressions/strsim.rs):
+//
+//  1. Arrow ingestion: UTF-8 byte buffers (offsets + data + validity) →
+//     padded int32 codepoint tiles + lengths, the device feed format.
+//     Vectorizable ASCII fast path; full UTF-8 decode otherwise.
+//
+//  2. Single-core scalar kernels for all five measures over ragged codepoint
+//     columns. These serve as (a) the local stand-in for the reference's
+//     single-core Rust baseline in bench.py, and (b) an exact host fallback
+//     for overflow rows, much faster than the Python oracle.
+//
+// Build: g++ -O3 -shared -fPIC (see build.py). No external dependencies.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <unordered_map>
+#include <utility>
+#include <vector>
+
+namespace {
+
+using std::int32_t;
+using std::int64_t;
+using std::uint32_t;
+using std::uint8_t;
+
+// ---------------------------------------------------------------------------
+// UTF-8 → UCS4 decode (Arrow string column layout)
+// ---------------------------------------------------------------------------
+
+// Decode one UTF-8 string into out (caller guarantees capacity). Returns the
+// number of Unicode scalar values. Invalid sequences are decoded permissively
+// byte-per-byte (the engine validates upstream; Arrow guarantees valid UTF-8).
+inline int64_t decode_utf8_row(const uint8_t* s, int64_t nbytes, int32_t* out) {
+  int64_t n = 0;
+  int64_t i = 0;
+  while (i < nbytes) {
+    uint8_t c = s[i];
+    uint32_t cp;
+    int len;
+    if (c < 0x80) {
+      cp = c;
+      len = 1;
+    } else if ((c >> 5) == 0x6) {
+      cp = c & 0x1F;
+      len = 2;
+    } else if ((c >> 4) == 0xE) {
+      cp = c & 0x0F;
+      len = 3;
+    } else if ((c >> 3) == 0x1E) {
+      cp = c & 0x07;
+      len = 4;
+    } else {  // stray continuation byte: emit as-is
+      cp = c;
+      len = 1;
+    }
+    if (i + len > nbytes) len = 1, cp = c;
+    for (int k = 1; k < len; ++k) cp = (cp << 6) | (s[i + k] & 0x3F);
+    out[n++] = static_cast<int32_t>(cp);
+    i += len;
+  }
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Arrow string column → padded [n, width] int32 tile + [n] lengths.
+// offsets: n+1 byte offsets into data. validity: optional (may be null) —
+// 1 byte per row, 0 = null → zero-length row. Rows longer than width are an
+// error: returns the row index + 1; returns 0 on success.
+// Pads out_codes with `pad` beyond each row's length.
+int64_t strsim_decode_utf8_column(const uint8_t* data, const int64_t* offsets,
+                                  const uint8_t* validity, int64_t n,
+                                  int32_t width, int32_t pad,
+                                  int32_t* out_codes, int32_t* out_lengths) {
+  std::vector<int32_t> scratch;
+  for (int64_t r = 0; r < n; ++r) {
+    int32_t* row = out_codes + r * width;
+    std::fill(row, row + width, pad);
+    if (validity && !validity[r]) {
+      out_lengths[r] = 0;
+      continue;
+    }
+    int64_t nbytes = offsets[r + 1] - offsets[r];
+    const uint8_t* s = data + offsets[r];
+    // ASCII fast path: widen bytes directly.
+    bool ascii = true;
+    if (nbytes <= width) {
+      int64_t i = 0;
+      for (; i < nbytes; ++i) {
+        if (s[i] >= 0x80) {
+          ascii = false;
+          break;
+        }
+        row[i] = s[i];
+      }
+      if (ascii) {
+        out_lengths[r] = static_cast<int32_t>(nbytes);
+        continue;
+      }
+      std::fill(row, row + i, pad);  // undo partial ASCII write
+    }
+    scratch.resize(static_cast<size_t>(nbytes));
+    int64_t len = nbytes ? decode_utf8_row(s, nbytes, scratch.data()) : 0;
+    if (len > width) return r + 1;
+    std::copy(scratch.begin(), scratch.begin() + len, row);
+    out_lengths[r] = static_cast<int32_t>(len);
+  }
+  return 0;
+}
+
+// Scan an Arrow string column for max codepoint length (to size tiles).
+int64_t strsim_utf8_max_chars(const uint8_t* data, const int64_t* offsets,
+                              const uint8_t* validity, int64_t n) {
+  int64_t maxc = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    if (validity && !validity[r]) continue;
+    int64_t chars = 0;
+    for (int64_t i = offsets[r]; i < offsets[r + 1]; ++i)
+      chars += (data[i] & 0xC0) != 0x80;  // count non-continuation bytes
+    maxc = std::max(maxc, chars);
+  }
+  return maxc;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Scalar similarity kernels over ragged codepoint columns
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Scratch {
+  std::vector<int64_t> dp0, dp1;
+  std::vector<uint8_t> flag_a, flag_b;
+  std::vector<int32_t> ord_a, ord_b;
+  std::unordered_map<int32_t, std::pair<int32_t, int32_t>> counts;
+};
+
+inline bool rows_equal(const int32_t* a, int64_t la, const int32_t* b,
+                       int64_t lb) {
+  return la == lb && std::memcmp(a, b, la * sizeof(int32_t)) == 0;
+}
+
+double lev_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+               Scratch& s) {
+  if ((la == 0 && lb == 0) || rows_equal(a, la, b, lb)) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  s.dp0.resize(lb + 1);
+  s.dp1.resize(lb + 1);
+  for (int64_t j = 0; j <= lb; ++j) s.dp0[j] = j;
+  for (int64_t i = 0; i < la; ++i) {
+    s.dp1[0] = i + 1;
+    int32_t ai = a[i];
+    for (int64_t j = 0; j < lb; ++j) {
+      int64_t sub = (ai == b[j]) ? s.dp0[j] : s.dp0[j] + 1;
+      s.dp1[j + 1] = std::min(sub, std::min(s.dp0[j + 1], s.dp1[j]) + 1);
+    }
+    std::swap(s.dp0, s.dp1);
+  }
+  return 1.0 -
+         (static_cast<double>(s.dp0[lb]) / static_cast<double>(std::max(la, lb)));
+}
+
+// Greedy windowed Jaro match; returns (m, t) and prefix via out-params.
+void jaro_stats(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                Scratch& s, int64_t* out_m, int64_t* out_t) {
+  int64_t bound = std::max(la, lb) / 2 - 1;
+  s.flag_a.assign(la, 0);
+  s.flag_b.assign(lb, 0);
+  int64_t m = 0;
+  int64_t imax = std::min(la, lb + bound);
+  for (int64_t i = 0; i < imax; ++i) {
+    int64_t lo = std::max<int64_t>(0, i - bound);
+    int64_t hi = std::min(i + bound, lb - 1);
+    for (int64_t j = lo; j <= hi; ++j) {
+      if (a[i] == b[j] && !s.flag_b[j]) {
+        ++m;
+        s.flag_a[i] = 1;
+        s.flag_b[j] = 1;
+        break;
+      }
+    }
+  }
+  int64_t t = 0;
+  int64_t j = 0;
+  for (int64_t i = 0; i < la; ++i) {
+    if (!s.flag_a[i]) continue;
+    while (j < lb && !s.flag_b[j]) ++j;
+    if (j < lb && a[i] != b[j]) ++t;
+    ++j;
+  }
+  *out_m = m;
+  *out_t = t;
+}
+
+double jaro_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                Scratch& s) {
+  if ((la == 0 && lb == 0) || rows_equal(a, la, b, lb)) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  if (la == 1 && lb == 1) return a[0] == b[0] ? 1.0 : 0.0;
+  int64_t m, t;
+  jaro_stats(a, la, b, lb, s, &m, &t);
+  if (m == 0) return 0.0;
+  double md = static_cast<double>(m);
+  return (md / la + md / lb + static_cast<double>(m - t / 2) / md) / 3.0;
+}
+
+double jaro_winkler_sim(const int32_t* a, int64_t la, const int32_t* b,
+                        int64_t lb, Scratch& s) {
+  double js = jaro_sim(a, la, b, lb, s);
+  if (js > 0.7) {
+    double prefix = 0;
+    for (int64_t i = 0; i < std::min<int64_t>(4, std::min(la, lb)); ++i) {
+      if (a[i] != b[i]) break;
+      prefix += 1.0;
+    }
+    return js + (prefix * 0.1 * (1.0 - js));
+  }
+  return js;
+}
+
+void count_pair(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                Scratch& s) {
+  s.counts.clear();
+  for (int64_t i = 0; i < la; ++i) s.counts[a[i]].first++;
+  for (int64_t j = 0; j < lb; ++j) s.counts[b[j]].second++;
+}
+
+double jaccard_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                   Scratch& s) {
+  if ((la == 0 && lb == 0) || rows_equal(a, la, b, lb)) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  count_pair(a, la, b, lb, s);
+  int64_t num = 0, den = 0;
+  for (auto& kv : s.counts) {
+    num += std::min(kv.second.first, kv.second.second);
+    den += std::max(kv.second.first, kv.second.second);
+  }
+  return static_cast<double>(num) / static_cast<double>(den);
+}
+
+double dice_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                Scratch& s) {
+  if ((la == 0 && lb == 0) || rows_equal(a, la, b, lb)) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  count_pair(a, la, b, lb, s);
+  int64_t num = 0;
+  for (auto& kv : s.counts) num += std::min(kv.second.first, kv.second.second);
+  return 2.0 * static_cast<double>(num) / static_cast<double>(la + lb);
+}
+
+}  // namespace
+
+extern "C" {
+
+// measure: 0=levenshtein 1=jaro 2=jaro_winkler 3=jaccard 4=sorensen_dice
+// Ragged layout: codes_* concatenated codepoints, off_*: n+1 offsets.
+// validity: optional; null rows produce NaN. Single-threaded by design —
+// this is the per-core baseline the TPU engine is measured against.
+void strsim_compute(int32_t measure, const int32_t* codes_a,
+                    const int64_t* off_a, const int32_t* codes_b,
+                    const int64_t* off_b, const uint8_t* validity, int64_t n,
+                    double* out) {
+  Scratch s;
+  for (int64_t r = 0; r < n; ++r) {
+    if (validity && !validity[r]) {
+      out[r] = std::numeric_limits<double>::quiet_NaN();
+      continue;
+    }
+    const int32_t* a = codes_a + off_a[r];
+    int64_t la = off_a[r + 1] - off_a[r];
+    const int32_t* b = codes_b + off_b[r];
+    int64_t lb = off_b[r + 1] - off_b[r];
+    switch (measure) {
+      case 0: out[r] = lev_sim(a, la, b, lb, s); break;
+      case 1: out[r] = jaro_sim(a, la, b, lb, s); break;
+      case 2: out[r] = jaro_winkler_sim(a, la, b, lb, s); break;
+      case 3: out[r] = jaccard_sim(a, la, b, lb, s); break;
+      case 4: out[r] = dice_sim(a, la, b, lb, s); break;
+      default: out[r] = -1.0;
+    }
+  }
+}
+
+}  // extern "C"

@@ -198,9 +198,13 @@ def multiset_intersection(
 # Fused stats entry point
 # ---------------------------------------------------------------------------
 
+# jaro lists "prefix" too (though its finalizer ignores it): computing the
+# 4-lane prefix compare alongside the match scan is free, and it makes jaro and
+# jaro_winkler share one compiled kernel — remote TPU compiles are the scarce
+# resource, not lanes.
 STAT_FIELDS = {
     "levenshtein": ("lev_d",),
-    "jaro": ("jaro_m", "jaro_t"),
+    "jaro": ("jaro_m", "jaro_t", "prefix"),
     "jaro_winkler": ("jaro_m", "jaro_t", "prefix"),
     "jaccard": ("inter",),
     "sorensen_dice": ("inter",),
@@ -213,19 +217,35 @@ def compute_stats(
     len_a: Array,
     len_b: Array,
     measures: Tuple[str, ...],
+    impls: Tuple[Tuple[str, str], ...] = (),
 ) -> Dict[str, Array]:
     """Compute the union of integer stats needed by `measures` on one tile
     batch. Shared stats (jaro m/t for both jaro and jaro_winkler, intersection
     for jaccard and dice) are computed once — this is the fused-measure mode
-    from BASELINE.json config 4."""
+    from BASELINE.json config 4.
+
+    `impls`: optional (("levenshtein", "pallas"), ("jaro", "xla"), ...) kernel
+    selection (hashable, jit-static); default "xla" for each family.
+    """
+    impl = dict(impls)
     need = set()
     for msr in measures:
         need.update(STAT_FIELDS[msr])
     out: Dict[str, Array] = {}
     if "lev_d" in need:
-        out["lev_d"] = levenshtein_distance(a, b, len_a, len_b)
+        if impl.get("levenshtein") == "pallas":
+            from strsim_tpu.ops.levenshtein_pallas import levenshtein_distance_pallas
+
+            out["lev_d"] = levenshtein_distance_pallas(a, b, len_a, len_b)
+        else:
+            out["lev_d"] = levenshtein_distance(a, b, len_a, len_b)
     if "jaro_m" in need:
-        out["jaro_m"], out["jaro_t"] = jaro_match_stats(a, b, len_a, len_b)
+        if impl.get("jaro") == "pallas":
+            from strsim_tpu.ops.jaro_pallas import jaro_match_stats_pallas
+
+            out["jaro_m"], out["jaro_t"] = jaro_match_stats_pallas(a, b, len_a, len_b)
+        else:
+            out["jaro_m"], out["jaro_t"] = jaro_match_stats(a, b, len_a, len_b)
     if "prefix" in need:
         out["prefix"] = shared_prefix_length(a, b)
     if "inter" in need:

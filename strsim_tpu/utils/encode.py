@@ -57,6 +57,13 @@ class EncodedColumn:
     def width(self) -> int:
         return self.codes.shape[1]
 
+    def slice(self, start: int, stop: int) -> "EncodedColumn":
+        return EncodedColumn(
+            codes=self.codes[start:stop],
+            lengths=self.lengths[start:stop],
+            validity=self.validity[start:stop],
+        )
+
 
 def _to_object_array(col) -> np.ndarray:
     """Normalize any supported column input to a 1-D object ndarray of str|None."""

@@ -1,0 +1,57 @@
+"""Native C++ host library: decode parity and scalar-kernel exactness."""
+import numpy as np
+import pytest
+
+from strsim_tpu.native import native_available, decode_utf8_column, native_compute_strings
+from strsim_tpu.ops.oracle import ORACLES
+from strsim_tpu.utils import encode as enc
+
+pytestmark = pytest.mark.skipif(not native_available(), reason="no g++ toolchain")
+
+
+def _arrow_buffers(strings):
+    data = bytearray()
+    offsets = [0]
+    validity = []
+    for s in strings:
+        if s is None:
+            validity.append(0)
+        else:
+            validity.append(1)
+            data.extend(s.encode("utf-8"))
+        offsets.append(len(data))
+    return (
+        np.frombuffer(bytes(data), dtype=np.uint8) if data else np.zeros(0, np.uint8),
+        np.array(offsets, dtype=np.int64),
+        np.array(validity, dtype=np.uint8),
+    )
+
+
+def test_decode_matches_numpy_encoder():
+    col = ["hello", "", "héllo", None, "日本語", "a𝄞b", "x" * 50]
+    data, offsets, validity = _arrow_buffers(col)
+    codes, lengths = decode_utf8_column(data, offsets, validity, width=64, pad=enc.PAD_A)
+    ref = enc.encode_column(col, pad=enc.PAD_A, width=64)
+    np.testing.assert_array_equal(codes, ref.codes)
+    np.testing.assert_array_equal(lengths, ref.lengths)
+
+
+def test_decode_width_overflow():
+    data, offsets, validity = _arrow_buffers(["toolong"])
+    with pytest.raises(ValueError, match="longer than tile width"):
+        decode_utf8_column(data, offsets, validity, width=3, pad=enc.PAD_A)
+
+
+@pytest.mark.parametrize("measure", sorted(ORACLES))
+def test_native_kernels_bitexact_vs_oracle(golden, measure):
+    cases = golden[measure]
+    col_a = [a for a, _, _ in cases]
+    col_b = [b for _, b, _ in cases]
+    got = native_compute_strings(measure, col_a, col_b)
+    want = np.array([ORACLES[measure](a, b) for a, b in zip(col_a, col_b)])
+    assert got.tobytes() == want.tobytes()
+
+
+def test_native_null_rows_nan():
+    got = native_compute_strings("jaro", ["a", None], ["a", "b"])
+    assert got[0] == 1.0 and np.isnan(got[1])

@@ -1,0 +1,84 @@
+"""Pallas kernels in interpret mode (CPU CI) vs the trusted oracle."""
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from strsim_tpu.ops import oracle
+from strsim_tpu.ops.levenshtein_pallas import levenshtein_distance_pallas
+from strsim_tpu.utils import encode as enc
+
+
+def _tiles(pairs, width):
+    a = enc.encode_column([p[0] for p in pairs], pad=enc.PAD_A, width=width)
+    b = enc.encode_column([p[1] for p in pairs], pad=enc.PAD_B, width=width)
+    return (
+        jnp.asarray(a.codes),
+        jnp.asarray(b.codes),
+        jnp.asarray(a.lengths),
+        jnp.asarray(b.lengths),
+    )
+
+
+def test_pallas_levenshtein_golden(golden):
+    pairs = [(a, b) for a, b, _ in golden["levenshtein"] if a and b]
+    ca, cb, la, lb = _tiles(pairs, width=32)
+    d = np.asarray(levenshtein_distance_pallas(ca, cb, la, lb, interpret=True))
+    want = np.array([oracle.levenshtein_distance(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(d, want)
+
+
+def test_pallas_levenshtein_fuzz():
+    rng = random.Random(99)
+    pairs = []
+    for _ in range(300):
+        la = rng.randrange(1, 9)
+        lb = rng.randrange(1, 9)
+        pairs.append(
+            (
+                "".join(rng.choice("abc") for _ in range(la)),
+                "".join(rng.choice("abc") for _ in range(lb)),
+            )
+        )
+    ca, cb, la, lb = _tiles(pairs, width=8)
+    d = np.asarray(levenshtein_distance_pallas(ca, cb, la, lb, interpret=True))
+    want = np.array([oracle.levenshtein_distance(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(d, want)
+
+
+def test_pallas_jaro_golden(golden):
+    from strsim_tpu.ops.jaro_pallas import jaro_match_stats_pallas
+
+    pairs = [
+        (a, b)
+        for a, b, _ in golden["jaro"]
+        if a and b and not (len(a) == 1 and len(b) == 1)
+    ]
+    ca, cb, la, lb = _tiles(pairs, width=32)
+    m, t = jaro_match_stats_pallas(ca, cb, la, lb, interpret=True)
+    want = [oracle.jaro_stats(a, b) for a, b in pairs]
+    np.testing.assert_array_equal(np.asarray(m), np.array([w[0] for w in want]))
+    np.testing.assert_array_equal(np.asarray(t), np.array([w[1] for w in want]))
+
+
+def test_pallas_jaro_fuzz():
+    from strsim_tpu.ops.jaro_pallas import jaro_match_stats_pallas
+
+    rng = random.Random(5)
+    pairs = []
+    for _ in range(300):
+        la = rng.randrange(1, 9)
+        lb = rng.randrange(1, 9)
+        pairs.append(
+            (
+                "".join(rng.choice("ab") for _ in range(la)),
+                "".join(rng.choice("ab") for _ in range(lb)),
+            )
+        )
+    pairs = [(a, b) for a, b in pairs if not (len(a) == 1 and len(b) == 1)]
+    ca, cb, la, lb = _tiles(pairs, width=8)
+    m, t = jaro_match_stats_pallas(ca, cb, la, lb, interpret=True)
+    want = [oracle.jaro_stats(a, b) for a, b in pairs]
+    np.testing.assert_array_equal(np.asarray(m), np.array([w[0] for w in want]))
+    np.testing.assert_array_equal(np.asarray(t), np.array([w[1] for w in want]))
