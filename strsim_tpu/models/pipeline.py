@@ -134,15 +134,21 @@ def compute_scores(
     col_b,
     measures,
     config: Optional[StrsimConfig] = None,
+    metrics=None,
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Score two string columns under every requested measure.
 
     Returns {measure: (values f64 [N], validity bool [N])}; values at invalid
     rows are NaN. Accepts anything encode_column accepts (list/np array of
     str|None, polars/arrow columns via to_list, or EncodedColumn pairs).
+    Pass a utils.metrics.RunMetrics to collect occupancy/waste/phase timings.
     """
+    from strsim_tpu.utils.metrics import timer
+
     cfg = config or get_config()
     measures = resolve_measures(measures)
+    tm = timer()
+    t_total = timer()
 
     if isinstance(col_a, EncodedColumn) and isinstance(col_b, EncodedColumn):
         a, b = col_a, col_b
@@ -150,6 +156,9 @@ def compute_scores(
         a, b = enc.encode_pair(col_a, col_b)
     a, b = _broadcast_pair(a, b)
     n = a.n
+    if metrics is not None:
+        metrics.n_rows += n
+        metrics.encode_wall_s += tm.lap()
 
     validity = a.validity & b.validity
     la = np.where(validity, a.lengths, 0).astype(np.int32)
@@ -174,6 +183,13 @@ def compute_scores(
     work = work & ~one_empty
 
     idx = np.nonzero(work)[0]
+    if metrics is not None:
+        metrics.null_rows += int(n - int(validity.sum()))
+        metrics.fast_path_rows += int(trivial.sum())
+        metrics.one_empty_rows += int(one_empty.sum())
+        metrics.device_rows += int(idx.size)
+        metrics.classify_wall_s += tm.lap()
+
     if idx.size:
         maxlen = np.maximum(la[idx], lb[idx])
         uniq = np.unique(maxlen)
@@ -184,13 +200,21 @@ def compute_scores(
             sel = idx[bucket_of == bucket_w]
             if bucket_w < 0:
                 _oracle_rows(out, measures, a, b, sel)
+                if metrics is not None:
+                    metrics.oracle_rows += int(sel.size)
+                    metrics.device_rows -= int(sel.size)
                 continue
-            _device_rows(out, measures, a, b, la, lb, sel, int(bucket_w), cfg)
+            _device_rows(out, measures, a, b, la, lb, sel, int(bucket_w), cfg, metrics)
+
+    if metrics is not None:
+        metrics.total_wall_s += t_total.lap()
 
     return {m: (out[m], validity) for m in measures}
 
 
-def _device_rows(out, measures, a, b, la, lb, sel, width, cfg):
+def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
+    from strsim_tpu.utils.metrics import timer
+
     codes_a = a.codes[sel, :width] if a.width >= width else _pad_codes(a.codes[sel], enc.PAD_A, width)
     codes_b = b.codes[sel, :width] if b.width >= width else _pad_codes(b.codes[sel], enc.PAD_B, width)
     lens_a = la[sel]
@@ -206,6 +230,8 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg):
     need = sorted({f for m in measures for f in STAT_FIELDS[m]})
     stats_np = {f: np.zeros(sel.size, dtype=np.int64) for f in need}
 
+    tm = timer()
+    calls = 0
     for start in range(0, sel.size, block):
         stop = min(start + block, sel.size)
         nb = stop - start
@@ -216,10 +242,24 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg):
         stats = kernel(jnp.asarray(ca), jnp.asarray(cb), jnp.asarray(pla), jnp.asarray(plb))
         for f in need:
             stats_np[f][start:stop] = np.asarray(stats[f])[:nb]
+        calls += 1
+    device_dt = tm.lap()
+
+    if metrics is not None:
+        bm = metrics.bucket(width)
+        bm.rows += int(sel.size)
+        bm.padded_rows += int(calls * block - sel.size)
+        bm.char_lanes += int(sel.size) * width
+        bm.useful_char_lanes += int(np.maximum(lens_a, lens_b).sum())
+        bm.device_calls += calls
+        bm.device_wall_s += device_dt
+        metrics.device_wall_s += device_dt
 
     for m in measures:
         vals = MEASURES[m].finalizer(stats_np, lens_a.astype(np.int64), lens_b.astype(np.int64))
         out[m][sel] = vals
+    if metrics is not None:
+        metrics.finalize_wall_s += tm.lap()
 
 
 def _oracle_rows(out, measures, a, b, sel):

@@ -84,7 +84,17 @@ def encode_column(col, pad: int = PAD_A, width: Optional[int] = None) -> Encoded
 
     `width`: pad/truncate-check target width; defaults to the max row length
     (min 1 so empty columns still produce a [N, 1] array).
+
+    Accepts: lists/np arrays of str|None, ArrowStringColumn (native UTF-8
+    decode path), pyarrow arrays (zero-copy buffer route), polars Series, and
+    anything exposing to_list/to_pylist.
     """
+    if hasattr(col, "offsets") and hasattr(col, "encode"):  # ArrowStringColumn
+        return col.encode(pad=pad, width=width)
+    if type(col).__module__.split(".")[0] == "pyarrow":
+        from strsim_tpu.utils.arrow_io import ArrowStringColumn
+
+        return ArrowStringColumn.from_pyarrow(col).encode(pad=pad, width=width)
     arr = _to_object_array(col)
     n = arr.shape[0]
     validity = np.ones(n, dtype=bool)

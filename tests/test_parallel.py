@@ -80,3 +80,55 @@ def test_row_cost_monotone_in_length():
     la = np.array([4, 40, 400])
     c = part.row_cost(la, la, ["levenshtein", "jaro"], buckets=(8, 16, 32, 64, 128, 256, 512))
     assert c[0] < c[1] < c[2]
+
+
+def test_multihost_simulation_matches_single_run():
+    """Simulate 4 hosts in-process: per-host shards must reassemble to exactly
+    the single-host result (deterministic partition + order-preserving merge)."""
+    from strsim_tpu.parallel import multihost as mh
+    from strsim_tpu.models.pipeline import compute_scores
+
+    rng = np.random.default_rng(11)
+    words = ["phillips", "philips", "smith", "", "featherstone", "x" * 300]
+    col_a = [words[i % len(words)] if i % 17 else None for i in range(500)]
+    col_b = [words[(i * 5 + 2) % len(words)] for i in range(500)]
+    measures = ("levenshtein", "jaro_winkler")
+
+    single = compute_scores(col_a, col_b, measures)
+    shards = [
+        mh.run_host_shard(col_a, col_b, measures, host_id=h, n_hosts=4)
+        for h in range(4)
+    ]
+    merged = mh.merge_host_results(500, shards)
+    for m in measures:
+        np.testing.assert_array_equal(merged[m][1], single[m][1])
+        assert merged[m][0].tobytes() == single[m][0].tobytes()
+
+
+def test_metrics_collection():
+    from strsim_tpu.models.pipeline import compute_scores
+    from strsim_tpu.utils.metrics import RunMetrics
+
+    metrics = RunMetrics()
+    col_a = ["phillips", "phillips", "", None, "washington-irving"]
+    col_b = ["phillips", "philips", "x", "y", "washington irving jr"]
+    compute_scores(col_a, col_b, ("levenshtein",), metrics=metrics)
+    assert metrics.n_rows == 5
+    assert metrics.null_rows == 1
+    assert metrics.fast_path_rows == 1    # equal pair
+    assert metrics.one_empty_rows == 1
+    assert metrics.device_rows == 2
+    assert metrics.total_wall_s > 0
+    d = metrics.as_dict()
+    assert set(d["buckets"]) == {8, 32}
+    for b in d["buckets"].values():
+        assert 0.0 <= b["padding_waste"] < 1.0
+
+
+def test_roofline_report_shape():
+    from strsim_tpu.ops.roofline import roofline_report
+
+    r = roofline_report("levenshtein", batch=65536, width=8, measured_s=0.004)
+    assert r["bound"] in ("compute", "memory")
+    assert r["speed_of_light_s"] > 0 and 0 < r["efficiency"]
+    assert r["sol_pairs_per_sec"] > r["pairs_per_sec"] * r["efficiency"] * 0.99
