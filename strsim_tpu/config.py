@@ -43,6 +43,14 @@ class StrsimConfig:
     # src/expressions/strsim.rs:128,182,288,324).
     equal_fast_path: bool = True
 
+    # Guarded compilation: kernels AOT-compile in background threads; if a
+    # compile hasn't finished within this many seconds (flaky remote-compile
+    # tunnels can hang requests), the affected rows fall back to the exact
+    # host path ("native" C++ kernels, or "oracle" pure Python) instead of
+    # blocking. None disables the deadline.
+    compile_timeout_s: Optional[float] = 300.0
+    fallback: str = "native"
+
     # Mesh axis name used by the batch-sharded data-parallel layer.
     batch_axis: str = "data"
 

@@ -196,6 +196,23 @@ def compute_scores(
         uniq_bucket = np.array([cfg.bucket_for(int(v)) for v in uniq], dtype=np.int64)
         bucket_of = uniq_bucket[np.searchsorted(uniq, maxlen)]
 
+        # start all bucket-shape compiles concurrently before touching any
+        buckets_present = [int(w) for w in np.unique(bucket_of) if w > 0]
+        prewarm_shapes(
+            measures,
+            [
+                (
+                    w,
+                    min(
+                        _block_rows(w, cfg, measures),
+                        _round_batch(int((bucket_of == w).sum()), cfg),
+                    ),
+                )
+                for w in buckets_present
+            ],
+            cfg,
+        )
+
         for bucket_w in np.unique(bucket_of):
             sel = idx[bucket_of == bucket_w]
             if bucket_w < 0:
@@ -212,6 +229,40 @@ def compute_scores(
     return {m: (out[m], validity) for m in measures}
 
 
+def _abstract_args(block: int, width: int):
+    tile = jax.ShapeDtypeStruct((block, width), jnp.int32)
+    vec = jax.ShapeDtypeStruct((block,), jnp.int32)
+    return (tile, tile, vec, vec)
+
+
+def _compiled_kernel(measures, impls, block, width, cfg):
+    """AOT-compiled executable for this shape, or None if compilation exceeded
+    the deadline (caller falls back to the exact host path)."""
+    from strsim_tpu.utils.compile_guard import compile_with_timeout
+
+    kernel = _get_kernel(measures, impls)
+    fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
+    key = (fields, impls, block, width)
+    return compile_with_timeout(key, kernel, _abstract_args(block, width), cfg.compile_timeout_s)
+
+
+def prewarm_shapes(measures, widths_blocks, cfg=None) -> None:
+    """Kick off background compiles for (width, block) shapes concurrently."""
+    from strsim_tpu.utils.compile_guard import prewarm
+
+    cfg = cfg or get_config()
+    measures = resolve_measures(measures)
+    impls = (
+        ("levenshtein", cfg.levenshtein_impl),
+        ("jaro", cfg.jaro_impl),
+        ("multiset", cfg.multiset_impl),
+    )
+    kernel = _get_kernel(measures, impls)
+    fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
+    for width, block in widths_blocks:
+        prewarm((fields, impls, block, width), kernel, _abstract_args(block, width))
+
+
 def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
     from strsim_tpu.utils.metrics import timer
 
@@ -226,7 +277,14 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
         ("jaro", cfg.jaro_impl),
         ("multiset", cfg.multiset_impl),
     )
-    kernel = _get_kernel(measures, impls)
+    kernel = _compiled_kernel(measures, impls, block, width, cfg)
+    if kernel is None:
+        # compile deadline exceeded — exact host fallback for this bucket
+        _host_rows(out, measures, a, b, sel, cfg)
+        if metrics is not None:
+            metrics.oracle_rows += int(sel.size)
+            metrics.device_rows -= int(sel.size)
+        return
     need = sorted({f for m in measures for f in STAT_FIELDS[m]})
     stats_np = {f: np.zeros(sel.size, dtype=np.int64) for f in need}
 
@@ -268,6 +326,29 @@ def _oracle_rows(out, measures, a, b, sel):
         sb = enc.decode_row(b.codes[i], int(b.lengths[i]))
         for m in measures:
             out[m][i] = MEASURES[m].oracle(sa, sb)
+
+
+def _host_rows(out, measures, a, b, sel, cfg):
+    """Exact host-side scoring (native C++ if available, else oracle) — the
+    fallback when a device kernel's compile misses its deadline."""
+    if cfg.fallback == "native":
+        try:
+            from strsim_tpu.native import native_available, native_compute
+
+            if native_available():
+                for m in measures:
+                    out[m][sel] = native_compute(
+                        m,
+                        a.codes[sel],
+                        a.lengths[sel],
+                        b.codes[sel],
+                        b.lengths[sel],
+                        None,
+                    )
+                return
+        except Exception:
+            pass
+    _oracle_rows(out, measures, a, b, sel)
 
 
 def _pad_codes(codes: np.ndarray, pad: int, width: int) -> np.ndarray:

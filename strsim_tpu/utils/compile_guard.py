@@ -1,0 +1,68 @@
+"""Guarded AOT compilation with timeout.
+
+The TPU remote-compile tunnel in some environments can hang individual compile
+requests indefinitely. This module compiles jitted functions ahead-of-time in
+daemon worker threads with a deadline: callers either get a compiled
+executable, or a definitive "not ready" answer so they can fall back to the
+host path (exact, just slower) instead of blocking the whole pipeline.
+
+Compiles are memoized per key; a compile that eventually finishes after its
+deadline still lands in the memo (and the persistent XLA disk cache), so later
+calls — including retries in a fresh process — hit it instantly.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, Optional, Tuple
+
+_lock = threading.Lock()
+_futures: Dict[Tuple, "_CompileFuture"] = {}
+
+
+class _CompileFuture:
+    def __init__(self, fn: Callable, abstract_args: Tuple):
+        self.event = threading.Event()
+        self.compiled = None
+        self.error: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, args=(fn, abstract_args), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, fn, abstract_args):
+        try:
+            self.compiled = fn.lower(*abstract_args).compile()
+        except BaseException as e:  # noqa: BLE001 — surfaced to the caller
+            self.error = e
+        finally:
+            self.event.set()
+
+    def wait(self, timeout: Optional[float]):
+        self.event.wait(timeout)
+        if self.error is not None:
+            raise self.error
+        return self.compiled  # None if still compiling
+
+
+def compile_with_timeout(
+    key: Tuple,
+    jitfn: Callable,
+    abstract_args: Tuple,
+    timeout_s: Optional[float],
+):
+    """Return the compiled executable for (key), or None if the compile has
+    not finished within timeout_s (it keeps going in the background)."""
+    with _lock:
+        fut = _futures.get(key)
+        if fut is None:
+            fut = _CompileFuture(jitfn, abstract_args)
+            _futures[key] = fut
+    return fut.wait(timeout_s)
+
+
+def prewarm(key: Tuple, jitfn: Callable, abstract_args: Tuple) -> None:
+    """Kick off a compile without waiting (e.g. warm all bucket shapes at
+    pipeline start so they compile concurrently)."""
+    with _lock:
+        if key not in _futures:
+            _futures[key] = _CompileFuture(jitfn, abstract_args)

@@ -113,3 +113,21 @@ def test_config_override():
     assert got[0] == 1.0
     want = ORACLES["levenshtein"]("longer-than-sixteen-chars", "longer-than-sixteen-chars!")
     assert got[1] == want
+
+
+def test_compile_timeout_falls_back_to_host():
+    """A zero compile deadline forces the exact host fallback — results must
+    be bit-identical to the oracle."""
+    cfg = st.get_config().replace(compile_timeout_s=0.000001, fallback="native")
+    cases = [("phillips", "philips"), ("kitten", "sitting"), ("a" * 40, "b" * 39)]
+    got = st.compute("levenshtein", [a for a, _ in cases], [b for _, b in cases], config=cfg)
+    want = np.array([ORACLES["levenshtein"](a, b) for a, b in cases])
+    # the background compile may win the race for later buckets; either path
+    # is exact, so just require exact values
+    assert got.tobytes() == want.tobytes()
+
+
+def test_compile_timeout_oracle_fallback():
+    cfg = st.get_config().replace(compile_timeout_s=0.000001, fallback="oracle")
+    got = st.compute("jaro_winkler", ["martha"], ["marhta"])
+    assert abs(got[0] - 0.9611111111111111) < 1e-12
