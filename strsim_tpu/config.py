@@ -38,6 +38,10 @@ class StrsimConfig:
     # Pallas grid block size (rows per grid step). Must be a multiple of 8.
     pallas_block_rows: int = 256
 
+    # Narrow tiles: buckets whose codepoints all fit int8 (pure ASCII, the
+    # common case for name data) ship as int8 — 4x less host->device traffic.
+    narrow_tiles: bool = True
+
     # Skip-equal fast path: detect byte-equal pairs host-side and emit 1.0
     # without touching the device (reference does the same per-row,
     # src/expressions/strsim.rs:128,182,288,324).

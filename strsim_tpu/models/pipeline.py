@@ -198,6 +198,13 @@ def compute_scores(
 
         # start all bucket-shape compiles concurrently before touching any
         buckets_present = [int(w) for w in np.unique(bucket_of) if w > 0]
+        ascii_dtype = (
+            np.int8
+            if cfg.narrow_tiles
+            and a.codes.max(initial=0) < 128
+            and b.codes.max(initial=0) < 128
+            else np.int32
+        )
         prewarm_shapes(
             measures,
             [
@@ -207,6 +214,7 @@ def compute_scores(
                         _block_rows(w, cfg, measures),
                         _round_batch(int((bucket_of == w).sum()), cfg),
                     ),
+                    ascii_dtype,
                 )
                 for w in buckets_present
             ],
@@ -229,25 +237,28 @@ def compute_scores(
     return {m: (out[m], validity) for m in measures}
 
 
-def _abstract_args(block: int, width: int):
-    tile = jax.ShapeDtypeStruct((block, width), jnp.int32)
+def _abstract_args(block: int, width: int, dtype):
+    tile = jax.ShapeDtypeStruct((block, width), dtype)
     vec = jax.ShapeDtypeStruct((block,), jnp.int32)
     return (tile, tile, vec, vec)
 
 
-def _compiled_kernel(measures, impls, block, width, cfg):
+def _compiled_kernel(measures, impls, block, width, dtype, cfg):
     """AOT-compiled executable for this shape, or None if compilation exceeded
     the deadline (caller falls back to the exact host path)."""
     from strsim_tpu.utils.compile_guard import compile_with_timeout
 
     kernel = _get_kernel(measures, impls)
     fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
-    key = (fields, impls, block, width)
-    return compile_with_timeout(key, kernel, _abstract_args(block, width), cfg.compile_timeout_s)
+    key = (fields, impls, block, width, np.dtype(dtype).name)
+    return compile_with_timeout(
+        key, kernel, _abstract_args(block, width, dtype), cfg.compile_timeout_s
+    )
 
 
-def prewarm_shapes(measures, widths_blocks, cfg=None) -> None:
-    """Kick off background compiles for (width, block) shapes concurrently."""
+def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
+    """Kick off background compiles for (width, block, dtype) shapes
+    concurrently."""
     from strsim_tpu.utils.compile_guard import prewarm
 
     cfg = cfg or get_config()
@@ -259,8 +270,12 @@ def prewarm_shapes(measures, widths_blocks, cfg=None) -> None:
     )
     kernel = _get_kernel(measures, impls)
     fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
-    for width, block in widths_blocks:
-        prewarm((fields, impls, block, width), kernel, _abstract_args(block, width))
+    for width, block, dtype in widths_blocks_dtypes:
+        prewarm(
+            (fields, impls, block, width, np.dtype(dtype).name),
+            kernel,
+            _abstract_args(block, width, dtype),
+        )
 
 
 def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
@@ -271,13 +286,20 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
     lens_a = la[sel]
     lens_b = lb[sel]
 
+    dtype = np.int32
+    if cfg.narrow_tiles and sel.size:
+        if codes_a.max(initial=0) < 128 and codes_b.max(initial=0) < 128:
+            dtype = np.int8  # pure-ASCII bucket: 4x less transfer
+            codes_a = codes_a.astype(np.int8)
+            codes_b = codes_b.astype(np.int8)
+
     block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
     impls = (
         ("levenshtein", cfg.levenshtein_impl),
         ("jaro", cfg.jaro_impl),
         ("multiset", cfg.multiset_impl),
     )
-    kernel = _compiled_kernel(measures, impls, block, width, cfg)
+    kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg)
     if kernel is None:
         # compile deadline exceeded — exact host fallback for this bucket
         _host_rows(out, measures, a, b, sel, cfg)
@@ -290,17 +312,23 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
 
     tm = timer()
     calls = 0
+    # dispatch every block asynchronously, then fetch: the device pipelines
+    # transfer+compute across blocks instead of paying a full host round-trip
+    # per block (the reference's analogue is rayon chunks running concurrently,
+    # strsim.rs:72-100 — here the "threads" are queued device launches)
+    pending = []
     for start in range(0, sel.size, block):
         stop = min(start + block, sel.size)
-        nb = stop - start
         ca = _pad_rows(codes_a[start:stop], enc.PAD_A, block)
         cb = _pad_rows(codes_b[start:stop], enc.PAD_B, block)
         pla = _pad_vec(lens_a[start:stop], block)
         plb = _pad_vec(lens_b[start:stop], block)
         stats = kernel(jnp.asarray(ca), jnp.asarray(cb), jnp.asarray(pla), jnp.asarray(plb))
-        for f in need:
-            stats_np[f][start:stop] = np.asarray(stats[f])[:nb]
+        pending.append((start, stop, stats))
         calls += 1
+    for start, stop, stats in pending:
+        for f in need:
+            stats_np[f][start:stop] = np.asarray(stats[f])[: stop - start]
     device_dt = tm.lap()
 
     if metrics is not None:
@@ -364,7 +392,7 @@ def _pad_rows(codes: np.ndarray, pad: int, rows: int) -> np.ndarray:
     n, w = codes.shape
     if n == rows:
         return np.ascontiguousarray(codes)
-    padded = np.full((rows, w), pad, dtype=np.int32)
+    padded = np.full((rows, w), pad, dtype=codes.dtype)
     padded[:n] = codes
     return padded
 

@@ -38,10 +38,10 @@ from strsim_tpu.utils.encode import PAD_A, PAD_B
 Array = jax.Array
 
 
-def _shift_right(x: Array, fill) -> Array:
-    """[B, W] → [B, W] with lanes moved one right; lane 0 = fill."""
+def _shift_down(x: Array, fill) -> Array:
+    """[W, B] → [W, B] with rows moved one down; row 0 = fill."""
     return jnp.concatenate(
-        [jnp.full((x.shape[0], 1), fill, dtype=x.dtype), x[:, :-1]], axis=1
+        [jnp.full((1, x.shape[1]), fill, dtype=x.dtype), x[:-1, :]], axis=0
     )
 
 
@@ -57,8 +57,12 @@ def levenshtein_distance(
     Wavefront formulation: diag_d[i] = D[i][d-i] where D is the classic DP
     table (D[i][j] = distance between a[:i] and b[:j]). Each anti-diagonal is
     an elementwise min over two shifted copies of the previous diagonals — no
-    intra-step dependence, so the whole batch advances one diagonal per step
-    with pure [B, L+1] vector ops. 2L-1 sequential steps total.
+    intra-step dependence, so the whole batch advances one diagonal per step.
+    2L-1 sequential steps total.
+
+    Layout: batch-in-lanes. State lives as [L+1, B] with the batch on the
+    minor (128-wide lane) axis — for small buckets (L+1 « 128) the row-major
+    [B, L+1] layout would waste most of each vector register on padding.
 
     Valid for rows with len_a >= 1 and len_b >= 1 (len_a + len_b >= 2); rows
     involving an empty side are resolved exactly in the finalizer (distance =
@@ -67,35 +71,38 @@ def levenshtein_distance(
     B, L = a.shape
     BIG = jnp.int32(2 * L + 5)
 
-    # Diagonal d, lane i needs b[d-i-1]. With b_rev = reverse(b) that is
+    # Diagonal d, DP row i needs b[d-i-1]. With b_rev = reverse(b) that is
     # ext[2L - d + i] where ext = [PAD_B * L | b_rev | PAD_B * L], so each step
-    # reads one dynamic slice of a precomputed array.
+    # reads one dynamic sublane slice of a precomputed [3L, B] array.
     b_rev = jnp.flip(b, axis=1)
     pad = jnp.full((B, L), PAD_B, dtype=a.dtype)
-    ext = jnp.concatenate([pad, b_rev, pad], axis=1)
+    ext = jnp.concatenate([pad, b_rev, pad], axis=1).T  # [3L, B]
 
-    # Lane i compares a[i-1]; lane 0 is a boundary cell whose cost is ignored.
-    a_sh = jnp.concatenate([jnp.full((B, 1), PAD_A, dtype=a.dtype), a], axis=1)
+    # Row i compares a[i-1]; row 0 is a boundary cell whose cost is ignored.
+    a_sh = jnp.concatenate(
+        [jnp.full((B, 1), PAD_A, dtype=a.dtype), a], axis=1
+    ).T  # [L+1, B]
 
-    ii = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
-    target_d = (len_a + len_b)[:, None]
-    lane_a = ii == len_a[:, None]
+    ii = jnp.arange(L + 1, dtype=jnp.int32)[:, None]
+    target_d = (len_a + len_b)[None, :]
+    lane_a = ii == len_a[None, :]
 
-    diag0 = jnp.where(ii == 0, 0, BIG).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
-    diag1 = jnp.where(ii <= 1, 1, BIG).astype(jnp.int32) * jnp.ones((B, 1), jnp.int32)
+    ones = jnp.ones((1, B), jnp.int32)
+    diag0 = jnp.where(ii == 0, 0, BIG).astype(jnp.int32) * ones
+    diag1 = jnp.where(ii <= 1, 1, BIG).astype(jnp.int32) * ones
 
     def body(d, state):
         prev, prev2, acc = state
-        bs = lax.dynamic_slice_in_dim(ext, 2 * L - d, L + 1, axis=1)
+        bs = lax.dynamic_slice_in_dim(ext, 2 * L - d, L + 1, axis=0)
         cost = (a_sh != bs).astype(jnp.int32)
         new = jnp.minimum(
-            jnp.minimum(_shift_right(prev, BIG) + 1, prev + 1),
-            _shift_right(prev2, BIG) + cost,
+            jnp.minimum(_shift_down(prev, BIG) + 1, prev + 1),
+            _shift_down(prev2, BIG) + cost,
         )
         valid = (ii <= d) & (d - ii <= L)
         new = jnp.where(valid, new, BIG)
         hit = (target_d == d) & lane_a & valid
-        acc = acc + jnp.sum(jnp.where(hit, new, 0), axis=1)
+        acc = acc + jnp.sum(jnp.where(hit, new, 0), axis=0)
         return new, prev, acc
 
     _, _, dist = lax.fori_loop(
@@ -123,19 +130,22 @@ def jaro_match_stats(
     """
     B, L = a.shape
     bound = (jnp.maximum(len_a, len_b) // 2 - 1).astype(jnp.int32)
-    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+    aT = a.T  # [L, B] — batch-in-lanes (see levenshtein_distance)
+    bT = b.T
+    jj = jnp.arange(L, dtype=jnp.int32)[:, None]
+    win_b = jj < len_b[None, :]
 
     def body(i, state):
         flagged_b, matched_a, m = state
-        a_i = lax.dynamic_slice_in_dim(a, i, 1, axis=1)  # [B, 1]
+        a_i = lax.dynamic_slice_in_dim(aT, i, 1, axis=0)  # [1, B]
         # strsim.rs:208 iterates only the first len_b + bound chars of a.
         active = (i < len_a) & (i < len_b + bound)
-        win = (jj >= i - bound[:, None]) & (jj <= i + bound[:, None]) & (jj < len_b[:, None])
-        cand = (b == a_i) & (~flagged_b) & win & active[:, None]
-        found = jnp.any(cand, axis=1)
-        first = jnp.argmax(cand, axis=1)  # index of first True
-        flagged_b = flagged_b | ((jj == first[:, None]) & found[:, None])
-        matched_a = jnp.where(jj == i, found[:, None], matched_a)
+        win = (jj >= i - bound[None, :]) & (jj <= i + bound[None, :]) & win_b
+        cand = (bT == a_i) & (~flagged_b) & win & active[None, :]
+        found = jnp.any(cand, axis=0)
+        first = jnp.argmax(cand, axis=0)  # index of first True
+        flagged_b = flagged_b | ((jj == first[None, :]) & found[None, :])
+        matched_a = jnp.where(jj == i, found[None, :], matched_a)
         m = m + found.astype(jnp.int32)
         return flagged_b, matched_a, m
 
@@ -144,8 +154,8 @@ def jaro_match_stats(
         L,
         body,
         (
-            jnp.zeros((B, L), bool),
-            jnp.zeros((B, L), bool),
+            jnp.zeros((L, B), bool),
+            jnp.zeros((L, B), bool),
             jnp.zeros((B,), jnp.int32),
         ),
     )
@@ -154,11 +164,11 @@ def jaro_match_stats(
     # side in positional order, then count pairwise mismatches among the first
     # m slots. Stable argsort on the negated flag brings matched positions to
     # the front without reordering them.
-    order_a = jnp.argsort(~matched_a, axis=1, stable=True)
-    order_b = jnp.argsort(~flagged_b, axis=1, stable=True)
-    am = jnp.take_along_axis(a, order_a, axis=1)
-    bm = jnp.take_along_axis(b, order_b, axis=1)
-    t = jnp.sum((am != bm) & (jj < m[:, None]), axis=1).astype(jnp.int32)
+    order_a = jnp.argsort(~matched_a, axis=0, stable=True)
+    order_b = jnp.argsort(~flagged_b, axis=0, stable=True)
+    am = jnp.take_along_axis(aT, order_a, axis=0)
+    bm = jnp.take_along_axis(bT, order_b, axis=0)
+    t = jnp.sum((am != bm) & (jj < m[None, :]), axis=0).astype(jnp.int32)
     return m, t
 
 
@@ -186,12 +196,16 @@ def multiset_intersection(
     for arbitrary Unicode where a 1M-bin histogram would not fit).
     """
     del len_b  # pads encode b's validity
-    cnt_in_b = jnp.sum(a[:, :, None] == b[:, None, :], axis=2)
-    kk = jnp.arange(a.shape[1], dtype=jnp.int32)
-    before = kk[None, None, :] < kk[None, :, None]
-    occ = jnp.sum((a[:, :, None] == a[:, None, :]) & before, axis=2)
-    valid_i = kk[None, :] < len_a[:, None]
-    return jnp.sum((occ < cnt_in_b) & valid_i, axis=1).astype(jnp.int32)
+    aT = a.T  # [L, B] — batch-in-lanes
+    bT = b.T
+    L = aT.shape[0]
+    # [L_i, L_j, B] equality tables, batch on the minor axis
+    cnt_in_b = jnp.sum(aT[:, None, :] == bT[None, :, :], axis=1)  # [L, B]
+    kk = jnp.arange(L, dtype=jnp.int32)
+    before = (kk[None, :] < kk[:, None])[:, :, None]  # k strictly before i
+    occ = jnp.sum((aT[:, None, :] == aT[None, :, :]) & before, axis=1)
+    valid_i = kk[:, None] < len_a[None, :]
+    return jnp.sum((occ < cnt_in_b) & valid_i, axis=0).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
