@@ -20,6 +20,18 @@ Scaling: batch-sharded device mesh via jax.sharding (parallel/mesh.py), with
 length-skew-aware partitioning across hosts (parallel/partition.py).
 """
 
+import os as _os
+
+if _os.environ.get("STRSIM_FORCE_CPU") == "1":
+    # Escape hatch for dev boxes where a TPU plugin pins jax_platforms at
+    # interpreter start (sitecustomize), making JAX_PLATFORMS=cpu ineffective.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from strsim_tpu.api import (
     levenshtein,
     jaro,
@@ -33,6 +45,7 @@ from strsim_tpu.api import (
     Literal,
 )
 from strsim_tpu.config import StrsimConfig, get_config, set_config
+from strsim_tpu.models.engine import StrsimEngine
 from strsim_tpu.models.measures import MEASURES
 
 __version__ = "0.1.0"
@@ -49,6 +62,7 @@ __all__ = [
     "lit",
     "Literal",
     "StrsimConfig",
+    "StrsimEngine",
     "get_config",
     "set_config",
     "MEASURES",
