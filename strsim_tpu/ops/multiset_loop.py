@@ -1,0 +1,37 @@
+"""Streaming multiset-intersection kernel.
+
+Same occurrence-rank identity as stats.multiset_intersection but evaluated as
+an L-step scan with [L, B] working state instead of one [L, L, B] compare
+table: per step i it counts matches of a_i in b and prior occurrences of a_i
+in a, then accumulates 1[occ < cnt_b]. Total work is the same 2·L²·B lane
+ops, but peak memory is L·B — so multiset blocks can be as large as the
+levenshtein/jaro blocks and the per-call dispatch overhead amortizes over
+256k-row batches (the [L, L, B] variant forces 4k-row blocks at L = 64).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def multiset_intersection_loop(
+    a: Array, b: Array, len_a: Array, len_b: Array
+) -> Array:
+    """Σ_c min(cnt_a(c), cnt_b(c)) per row; [R, L] padded tiles in, [R] out."""
+    del len_b  # pads encode b's validity
+    B, L = a.shape
+    aT = a.T  # [L, B] batch-in-lanes
+    bT = b.T
+    kk = jnp.arange(L, dtype=jnp.int32)[:, None]  # [L, 1]
+
+    def body(i, inter):
+        a_i = lax.dynamic_slice_in_dim(aT, i, 1, axis=0)  # [1, B]
+        cnt_b = jnp.sum(bT == a_i, axis=0)                # [B]
+        occ = jnp.sum((aT == a_i) & (kk < i), axis=0)     # [B]
+        valid = i < len_a
+        return inter + ((occ < cnt_b) & valid).astype(jnp.int32)
+
+    return lax.fori_loop(0, L, body, jnp.zeros((B,), jnp.int32))
