@@ -19,3 +19,5 @@ native:
 clean:
 	rm -rf ~/.cache/tpu-strsim .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} +
+bench-configs:
+	python bench_configs.py

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""BASELINE.json config-matrix benchmarks (beyond bench.py's headline).
+
+Covers the five benchmark configs from BASELINE.md:
+  1. README demo column pair (incl. empty/null rows) — correctness + latency
+  2. jaro + jaro_winkler, 100K pairs, len <= 32, single bucket
+  3. jaccard + sorensen_dice, 1M pairs with null/empty masking
+  4. all five measures fused, length-bucketed, 10M pairs (scale via --pairs)
+  5. record-linkage skew: hash-partitioned shards, skew-aware vs equal split
+     (multi-host simulated: partition balance measured exactly; per-shard
+     throughput measured on the one available chip)
+
+Writes BENCH_CONFIGS.json. Run manually or via `make bench-configs`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from bench import make_pairs, _log
+from strsim_tpu.models.pipeline import compute_scores
+from strsim_tpu.utils import encode as enc
+from strsim_tpu.utils.metrics import RunMetrics
+
+
+def _encode(col_a, col_b):
+    a = enc.encode_column(col_a, pad=enc.PAD_A)
+    b = enc.encode_column(col_b, pad=enc.PAD_B)
+    w = max(a.width, b.width)
+    return enc._repad(a, enc.PAD_A, w), enc._repad(b, enc.PAD_B, w)
+
+
+def _timed(measures, a, b, warm_slice=4096):
+    compute_scores(a.slice(0, min(warm_slice, a.n)), b.slice(0, min(warm_slice, b.n)), measures)
+    metrics = RunMetrics()
+    t0 = time.perf_counter()
+    compute_scores(a, b, measures, metrics=metrics)
+    dt = time.perf_counter() - t0
+    return {
+        "pairs_per_sec": a.n / dt,
+        "wall_s": dt,
+        "device_wall_s": metrics.device_wall_s,
+        "buckets": {
+            str(w): {"rows": bm.rows, "padding_waste": round(bm.padding_waste, 4)}
+            for w, bm in metrics.buckets.items()
+        },
+    }
+
+
+def config_demo():
+    from strsim_tpu.models.pipeline import compute_scores as cs
+
+    name_a = ["phillips", "phillips", "", "", None, None]
+    name_b = ["phillips", "philips", "phillips", "", "phillips", None]
+    t0 = time.perf_counter()
+    res = cs(name_a, name_b, ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice"))
+    dt = time.perf_counter() - t0
+    vals = {m: [None if not ok else v for v, ok in zip(*res[m])] for m in res}
+    expect_lev = [1.0, 0.875, 0.0, 1.0, None, None]
+    return {"latency_s": dt, "levenshtein_ok": vals["levenshtein"] == expect_lev}
+
+
+def config_jaro_100k():
+    rng = np.random.default_rng(1)
+    words = ["jackson", "jaxon", "phillips", "philips", "martha", "marhta", "dixon", "dicksonx"]
+    col_a = [words[i % 8] for i in range(100_000)]
+    col_b = [words[int(x)] for x in rng.integers(0, 8, 100_000)]
+    a, b = _encode(col_a, col_b)
+    return _timed(("jaro", "jaro_winkler"), a, b)
+
+
+def config_multiset_1m():
+    col_a, col_b = make_pairs(1_000_000, seed=7)
+    a, b = _encode(col_a, col_b)
+    return _timed(("jaccard", "sorensen_dice"), a, b)
+
+
+def config_fused(n_pairs: int):
+    col_a, col_b = make_pairs(n_pairs, seed=9)
+    a, b = _encode(col_a, col_b)
+    return _timed(("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice"), a, b)
+
+
+def config_skew(n_pairs: int, n_hosts: int = 4):
+    """Skew-heavy workload: partition quality (exact) + per-shard device run."""
+    from strsim_tpu.parallel import partition as part
+
+    rng = np.random.default_rng(3)
+    base_a, base_b = make_pairs(n_pairs, seed=5)
+    # heavy tail: 5% of rows become 200-500 char "record" strings
+    tail = rng.random(n_pairs) < 0.05
+    long_blob = "the quick brown fox jumps over the lazy dog " * 12
+    for i in np.nonzero(tail)[0]:
+        base_a[i] = long_blob[: int(200 + 300 * rng.random())]
+        base_b[i] = long_blob[: int(200 + 300 * rng.random())] + "x"
+    a, b = _encode(base_a, base_b)
+
+    measures = ["levenshtein"]
+    costs = part.row_cost(a.lengths.astype(np.int64), b.lengths.astype(np.int64), measures, (8, 16, 32, 64, 128, 256, 512))
+    balanced = part.cost_balanced_partition(costs, n_hosts)
+    equal = [np.arange(off, off + ln) for off, ln in part.split_offsets(n_pairs, n_hosts)]
+    rep_b = part.balance_report(costs, balanced)
+    rep_e = part.balance_report(costs, equal)
+
+    # measure shard 0 of the balanced partition on the real chip
+    sh = balanced[0]
+    shard = _timed(
+        ("levenshtein",),
+        enc.EncodedColumn(a.codes[sh], a.lengths[sh], a.validity[sh]),
+        enc.EncodedColumn(b.codes[sh], b.lengths[sh], b.validity[sh]),
+    )
+    return {
+        "n_hosts_simulated": n_hosts,
+        "scaling_efficiency_balanced": rep_b["scaling_efficiency"],
+        "scaling_efficiency_equal_split": rep_e["scaling_efficiency"],
+        "shard0": shard,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pairs", type=int, default=10_000_000, help="config-4 fused size")
+    ap.add_argument("--skew-pairs", type=int, default=2_000_000)
+    ap.add_argument("--only", type=str, default=None)
+    args = ap.parse_args()
+
+    configs = {
+        "1_demo": config_demo,
+        "2_jaro_100k_len32": config_jaro_100k,
+        "3_multiset_1m": config_multiset_1m,
+        "4_fused_bucketed": lambda: config_fused(args.pairs),
+        "5_skew_multihost": lambda: config_skew(args.skew_pairs),
+    }
+    out = {}
+    for name, fn in configs.items():
+        if args.only and args.only not in name:
+            continue
+        _log(f"running {name}")
+        try:
+            out[name] = fn()
+            _log(f"{name}: {json.dumps(out[name])[:160]}")
+        except Exception as e:  # record failures, keep going
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+    with open("BENCH_CONFIGS.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v.get("pairs_per_sec", v) for k, v in out.items()}, default=str))
+
+
+if __name__ == "__main__":
+    main()
