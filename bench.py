@@ -134,12 +134,29 @@ def worker(measures_csv: str, out_path: str) -> None:
     compute_scores(a.slice(0, 131072), b.slice(0, 131072), measures)
     _log(f"worker[{measures_csv}]: warm full-shape done ({time.perf_counter() - t0:.1f}s)")
 
+    from strsim_tpu.utils.metrics import RunMetrics
+
+    metrics = RunMetrics()
     t0 = time.perf_counter()
-    res = compute_scores(a, b, measures)
+    res = compute_scores(a, b, measures, metrics=metrics)
     dt = time.perf_counter() - t0
     result["tpu_pairs_per_sec"] = N_PAIRS / dt
     result["tpu_wall_s"] = dt
-    _log(f"worker[{measures_csv}]: tpu {N_PAIRS / dt:,.0f} pairs/s ({dt:.2f}s)")
+    result["phases"] = {
+        "classify_s": round(metrics.classify_wall_s, 3),
+        "device_s": round(metrics.device_wall_s, 3),
+        "finalize_s": round(metrics.finalize_wall_s, 3),
+    }
+    result["buckets"] = {
+        str(w): {
+            "rows": bm.rows,
+            "device_calls": bm.device_calls,
+            "device_s": round(bm.device_wall_s, 3),
+            "padding_waste": round(bm.padding_waste, 3),
+        }
+        for w, bm in metrics.buckets.items()
+    }
+    _log(f"worker[{measures_csv}]: tpu {N_PAIRS / dt:,.0f} pairs/s ({dt:.2f}s) phases={result['phases']}")
 
     if len(measures) == 1 and "baseline_single_core_pairs_per_sec" in result:
         values, _ = res[measures[0]]

@@ -26,8 +26,10 @@ class StrsimConfig:
 
     # Batch sizes are rounded up (pow2, then multiples of max_batch_block) to
     # bound the jit compile cache; padded rows are zero-length and masked out.
+    # Large blocks amortize per-round-trip relay latency (the dominant cost on
+    # tunneled TPUs); per-block memory stays modest ([256k, 2*64] int8 = 32MB).
     min_batch: int = 8
-    max_batch_block: int = 65536
+    max_batch_block: int = 262144
 
     # Kernel implementation per measure family: "xla" (pure jnp, fused by XLA)
     # or "pallas" (hand-written Mosaic kernels with explicit VMEM residency).

@@ -47,7 +47,9 @@ def _block_rows(width: int, cfg: StrsimConfig, measures: Tuple[str, ...]) -> int
     compare tables; cap its footprint. Other kernels are [B, L]."""
     need_multiset = any("inter" in STAT_FIELDS[m] for m in measures)
     cap = cfg.max_batch_block
-    if need_multiset:  # [B, L, L] compare tables: keep under ~16M elements
+    if need_multiset and cfg.multiset_impl == "table":
+        # [B, L, L] compare tables: keep under ~16M elements. The default
+        # streaming kernel has [L, B] state and needs no cap.
         cap = min(cap, max(cfg.min_batch, (1 << 24) // max(width * width, 1)))
     # keep to powers of two for a compact compile cache
     b = cfg.min_batch
@@ -81,10 +83,19 @@ def _ensure_compile_cache() -> None:
             pass
 
 
+def _stat_fields(measures: Tuple[str, ...]) -> Tuple[str, ...]:
+    return tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
+
+
 def _get_kernel(measures: Tuple[str, ...], impls: Tuple[Tuple[str, str], ...]):
     """A jitted fused-stats kernel, cached by the union of stat fields (not by
-    measure names) so e.g. jaccard and sorensen_dice share one compile."""
-    fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
+    measure names) so e.g. jaccard and sorensen_dice share one compile.
+
+    I/O is packed to minimize host<->device round-trips (each one pays full
+    relay latency on tunneled TPUs): inputs are one [B, 2W] codes tile (a|b)
+    plus one [B, 2] length tile; output is one stacked [F, B] int32 array.
+    """
+    fields = _stat_fields(measures)
     # map the field set back to a canonical measure tuple covering it
     canonical = tuple(
         sorted(m for m in STAT_FIELDS if set(STAT_FIELDS[m]) <= set(fields))
@@ -95,9 +106,14 @@ def _get_kernel(measures: Tuple[str, ...], impls: Tuple[Tuple[str, str], ...]):
         _ensure_compile_cache()
         from strsim_tpu.ops.stats import compute_stats
 
-        fn = jax.jit(
-            lambda a, b, la, lb: compute_stats(a, b, la, lb, canonical, impls)
-        )
+        def packed(codes, lens):
+            w = codes.shape[1] // 2
+            a, b = codes[:, :w], codes[:, w:]
+            la, lb = lens[:, 0], lens[:, 1]
+            stats = compute_stats(a, b, la, lb, canonical, impls)
+            return jnp.stack([stats[f].astype(jnp.int32) for f in fields])
+
+        fn = jax.jit(packed)
         _kernel_cache[key] = fn
     return fn
 
@@ -238,9 +254,9 @@ def compute_scores(
 
 
 def _abstract_args(block: int, width: int, dtype):
-    tile = jax.ShapeDtypeStruct((block, width), dtype)
-    vec = jax.ShapeDtypeStruct((block,), jnp.int32)
-    return (tile, tile, vec, vec)
+    codes = jax.ShapeDtypeStruct((block, 2 * width), dtype)
+    lens = jax.ShapeDtypeStruct((block, 2), jnp.int32)
+    return (codes, lens)
 
 
 def _compiled_kernel(measures, impls, block, width, dtype, cfg):
@@ -307,7 +323,7 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
             metrics.oracle_rows += int(sel.size)
             metrics.device_rows -= int(sel.size)
         return
-    need = sorted({f for m in measures for f in STAT_FIELDS[m]})
+    need = list(_stat_fields(measures))
     stats_np = {f: np.zeros(sel.size, dtype=np.int64) for f in need}
 
     tm = timer()
@@ -315,20 +331,29 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
     # dispatch every block asynchronously, then fetch: the device pipelines
     # transfer+compute across blocks instead of paying a full host round-trip
     # per block (the reference's analogue is rayon chunks running concurrently,
-    # strsim.rs:72-100 — here the "threads" are queued device launches)
+    # strsim.rs:72-100 — here the "threads" are queued device launches).
+    # I/O per block: ONE packed codes upload, one lens upload, one stacked
+    # stats fetch — round-trips dominate on tunneled TPUs.
     pending = []
     for start in range(0, sel.size, block):
         stop = min(start + block, sel.size)
-        ca = _pad_rows(codes_a[start:stop], enc.PAD_A, block)
-        cb = _pad_rows(codes_b[start:stop], enc.PAD_B, block)
-        pla = _pad_vec(lens_a[start:stop], block)
-        plb = _pad_vec(lens_b[start:stop], block)
-        stats = kernel(jnp.asarray(ca), jnp.asarray(cb), jnp.asarray(pla), jnp.asarray(plb))
+        nb = stop - start
+        packed = np.empty((block, 2 * width), dtype=codes_a.dtype)
+        packed[:nb, :width] = codes_a[start:stop]
+        packed[:nb, width:] = codes_b[start:stop]
+        if nb < block:
+            packed[nb:, :width] = enc.PAD_A
+            packed[nb:, width:] = enc.PAD_B
+        lens = np.zeros((block, 2), dtype=np.int32)
+        lens[:nb, 0] = lens_a[start:stop]
+        lens[:nb, 1] = lens_b[start:stop]
+        stats = kernel(jnp.asarray(packed), jnp.asarray(lens))
         pending.append((start, stop, stats))
         calls += 1
     for start, stop, stats in pending:
-        for f in need:
-            stats_np[f][start:stop] = np.asarray(stats[f])[: stop - start]
+        host = np.asarray(stats)  # [F, block] — one fetch per block
+        for fi, f in enumerate(need):
+            stats_np[f][start:stop] = host[fi, : stop - start]
     device_dt = tm.lap()
 
     if metrics is not None:

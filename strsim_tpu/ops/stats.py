@@ -263,7 +263,12 @@ def compute_stats(
     if "prefix" in need:
         out["prefix"] = shared_prefix_length(a, b)
     if "inter" in need:
-        out["inter"] = multiset_intersection(a, b, len_a, len_b)
+        if impl.get("multiset") == "table":
+            out["inter"] = multiset_intersection(a, b, len_a, len_b)
+        else:  # default: streaming L-step scan, [L, B] peak memory
+            from strsim_tpu.ops.multiset_loop import multiset_intersection_loop
+
+            out["inter"] = multiset_intersection_loop(a, b, len_a, len_b)
     return out
 
 
