@@ -21,9 +21,12 @@ _futures: Dict[Tuple, "_CompileFuture"] = {}
 
 class _CompileFuture:
     def __init__(self, fn: Callable, abstract_args: Tuple):
+        import time
+
         self.event = threading.Event()
         self.compiled = None
         self.error: Optional[BaseException] = None
+        self.started_at = time.monotonic()
         self._thread = threading.Thread(
             target=self._run, args=(fn, abstract_args), daemon=True
         )
@@ -38,7 +41,16 @@ class _CompileFuture:
             self.event.set()
 
     def wait(self, timeout: Optional[float]):
-        self.event.wait(timeout)
+        """Deadline counts from compile START, not from this call — several
+        callers waiting on prewarmed futures must not serialize timeouts."""
+        import time
+
+        if timeout is None:
+            self.event.wait()
+        else:
+            remaining = self.started_at + timeout - time.monotonic()
+            if remaining > 0:
+                self.event.wait(remaining)
         if self.error is not None:
             raise self.error
         return self.compiled  # None if still compiling
