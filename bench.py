@@ -126,13 +126,11 @@ def worker(measures_csv: str, out_path: str) -> None:
         result["baseline_single_core_pairs_per_sec"] = BASELINE_SUBSET / base_dt
         _log(f"worker[{measures_csv}]: native {BASELINE_SUBSET / base_dt:,.0f} pairs/s")
 
-    # warm-up: compile all (bucket, block) shapes on a slice
+    # warm-up: compile the full-size (bucket, block) shapes on a big slice —
+    # one shape per bucket width, matching the timed run exactly
     t0 = time.perf_counter()
-    compute_scores(a.slice(0, 4096), b.slice(0, 4096), measures)
-    _log(f"worker[{measures_csv}]: warm slice done ({time.perf_counter() - t0:.1f}s)")
-    t0 = time.perf_counter()
-    compute_scores(a.slice(0, 131072), b.slice(0, 131072), measures)
-    _log(f"worker[{measures_csv}]: warm full-shape done ({time.perf_counter() - t0:.1f}s)")
+    compute_scores(a.slice(0, 400_000), b.slice(0, 400_000), measures)
+    _log(f"worker[{measures_csv}]: warm done ({time.perf_counter() - t0:.1f}s)")
 
     from strsim_tpu.utils.metrics import RunMetrics
 

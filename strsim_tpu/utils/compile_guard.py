@@ -12,11 +12,18 @@ calls — including retries in a fresh process — hit it instantly.
 """
 from __future__ import annotations
 
+import os
 import threading
 from typing import Callable, Dict, Optional, Tuple
 
 _lock = threading.Lock()
 _futures: Dict[Tuple, "_CompileFuture"] = {}
+
+# Cap concurrent compiles: remote-compile services can degrade under
+# parallel requests; queued compiles still overlap with pipeline compute.
+_compile_slots = threading.Semaphore(
+    int(os.environ.get("TPU_STRSIM_COMPILE_CONCURRENCY", "2"))
+)
 
 
 class _CompileFuture:
@@ -33,8 +40,12 @@ class _CompileFuture:
         self._thread.start()
 
     def _run(self, fn, abstract_args):
+        import time
+
         try:
-            self.compiled = fn.lower(*abstract_args).compile()
+            with _compile_slots:
+                self.started_at = time.monotonic()  # deadline from actual start
+                self.compiled = fn.lower(*abstract_args).compile()
         except BaseException as e:  # noqa: BLE001 — surfaced to the caller
             self.error = e
         finally:
