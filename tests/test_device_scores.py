@@ -1,0 +1,22 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from strsim_tpu.ops.finalize_device import scores_on_device
+from strsim_tpu.ops.oracle import ORACLES
+from strsim_tpu.utils import encode as enc
+
+
+def test_device_scores_close_to_oracle(golden):
+    pairs = [(a, b) for a, b, _ in golden["jaro_winkler"][:200]]
+    a = enc.encode_column([p[0] for p in pairs], pad=enc.PAD_A, width=32)
+    b = enc.encode_column([p[1] for p in pairs], pad=enc.PAD_B, width=32)
+    fn = jax.jit(lambda ca, cb, la, lb: scores_on_device(
+        ca, cb, la, lb, ("levenshtein", "jaro_winkler", "jaccard")))
+    out = fn(jnp.asarray(a.codes), jnp.asarray(b.codes),
+             jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+    for m in ("levenshtein", "jaro_winkler", "jaccard"):
+        got = np.asarray(out[m])
+        want = np.array([ORACLES[m](x, y) for x, y in pairs])
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, want, atol=2e-6)
