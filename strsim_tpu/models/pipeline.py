@@ -24,6 +24,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from strsim_tpu.config import StrsimConfig, get_config
 from strsim_tpu.models.measures import MEASURES, resolve_measures
@@ -327,33 +328,37 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
     stats_np = {f: np.zeros(sel.size, dtype=np.int64) for f in need}
 
     tm = timer()
-    calls = 0
-    # dispatch every block asynchronously, then fetch: the device pipelines
-    # transfer+compute across blocks instead of paying a full host round-trip
-    # per block (the reference's analogue is rayon chunks running concurrently,
-    # strsim.rs:72-100 — here the "threads" are queued device launches).
-    # I/O per block: ONE packed codes upload, one lens upload, one stacked
-    # stats fetch — round-trips dominate on tunneled TPUs.
-    pending = []
-    for start in range(0, sel.size, block):
-        stop = min(start + block, sel.size)
-        nb = stop - start
-        packed = np.empty((block, 2 * width), dtype=codes_a.dtype)
-        packed[:nb, :width] = codes_a[start:stop]
-        packed[:nb, width:] = codes_b[start:stop]
-        if nb < block:
-            packed[nb:, :width] = enc.PAD_A
-            packed[nb:, width:] = enc.PAD_B
-        lens = np.zeros((block, 2), dtype=np.int32)
-        lens[:nb, 0] = lens_a[start:stop]
-        lens[:nb, 1] = lens_b[start:stop]
-        stats = kernel(jnp.asarray(packed), jnp.asarray(lens))
-        pending.append((start, stop, stats))
-        calls += 1
-    for start, stop, stats in pending:
-        host = np.asarray(stats)  # [F, block] — one fetch per block
-        for fi, f in enumerate(need):
-            stats_np[f][start:stop] = host[fi, : stop - start]
+    # Round-trips dominate on tunneled TPUs, so per BUCKET the host does
+    # exactly: two uploads (whole padded codes + lengths), N async kernel
+    # dispatches on device-side slices, one stacked download. (The reference's
+    # analogue is rayon chunks running concurrently, strsim.rs:72-100 — here
+    # the "threads" are queued device launches.)
+    n_pad = ((sel.size + block - 1) // block) * block
+    calls = n_pad // block
+    packed = np.empty((n_pad, 2 * width), dtype=codes_a.dtype)
+    packed[: sel.size, :width] = codes_a
+    packed[: sel.size, width:] = codes_b
+    if n_pad > sel.size:
+        packed[sel.size :, :width] = enc.PAD_A
+        packed[sel.size :, width:] = enc.PAD_B
+    lens = np.zeros((n_pad, 2), dtype=np.int32)
+    lens[: sel.size, 0] = lens_a
+    lens[: sel.size, 1] = lens_b
+
+    dev_codes = jnp.asarray(packed)
+    dev_lens = jnp.asarray(lens)
+    outs = []
+    for start in range(0, n_pad, block):
+        outs.append(
+            kernel(
+                lax.slice_in_dim(dev_codes, start, start + block, axis=0),
+                lax.slice_in_dim(dev_lens, start, start + block, axis=0),
+            )
+        )
+    stacked = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    host = np.asarray(stacked)  # [F, n_pad] — one fetch per bucket
+    for fi, f in enumerate(need):
+        stats_np[f][:] = host[fi, : sel.size]
     device_dt = tm.lap()
 
     if metrics is not None:

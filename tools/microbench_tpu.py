@@ -8,8 +8,11 @@ Measures, for a cached levenshtein kernel at several block sizes:
 
 Run: python tools/microbench_tpu.py [width]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -55,5 +58,36 @@ def main():
         )
 
 
+
+
+
+def pipelined(width=8, block=262144, chain=16):
+    """True kernel throughput: N dispatches on resident data, one sync."""
+    from strsim_tpu.models.pipeline import _get_kernel
+
+    impls = (("levenshtein", "xla"), ("jaro", "xla"), ("multiset", "xla"))
+    rng = np.random.default_rng(0)
+    packed = rng.integers(97, 123, size=(block, 2 * width), dtype=np.int32).astype(np.int8)
+    lens = np.full((block, 2), max(2, width // 2), dtype=np.int32)
+    dev_packed = jnp.asarray(packed)
+    dev_lens = jnp.asarray(lens)
+    for name, measures in (
+        ("levenshtein", ("levenshtein",)),
+        ("jaro", ("jaro",)),
+        ("multiset", ("jaccard",)),
+        ("fused5", ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")),
+    ):
+        kernel = jax.jit(_get_kernel(measures, impls))
+        jax.block_until_ready(kernel(dev_packed, dev_lens))  # compile
+        t0 = time.perf_counter()
+        outs = [kernel(dev_packed, dev_lens) for _ in range(chain)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / chain
+        print(f"resident {name:12s} w{width:3d} block {block}: {dt*1000:7.2f} ms/call = {block/dt:,.0f} pairs/s")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "resident":
+        pipelined(int(sys.argv[1]))
+    else:
+        main()
