@@ -43,10 +43,10 @@ def _kernel(a_sh_ref, b_sh_ref, len_a_ref, len_b_ref, m_ref, ma_ref, fb_ref, *, 
         active = (i < len_a) & (i < len_b + bound)
         win = (jj >= i - bound) & (jj <= i + bound) & win_static
         cand = (b_sh == a_i) & (flagged_b == 0) & win & active
-        ci = cand.astype(jnp.int32)
-        first = ci * (jnp.cumsum(ci, axis=0) == 1).astype(jnp.int32)
-        found = jnp.max(ci, axis=0, keepdims=True)  # [1, BR]
-        flagged_b = flagged_b | first
+        # first candidate = min masked index (Mosaic has no cumsum primitive)
+        first_idx = jnp.min(jnp.where(cand, jj, L), axis=0, keepdims=True)
+        found = (first_idx < L).astype(jnp.int32)     # [1, BR]
+        flagged_b = flagged_b | ((jj == first_idx) & (found > 0)).astype(jnp.int32)
         matched_a = jnp.where(jj == i, found, matched_a)
         m = m + found
         return flagged_b, matched_a, m
@@ -106,15 +106,11 @@ def jaro_match_stats_pallas(
         interpret=interpret,
     )(a_sh, b_sh, la2, lb2)
 
-    m = m2[0, :R]
-    matched_a = ma.T[:R].astype(bool)
-    flagged_b = fb.T[:R].astype(bool)
+    from strsim_tpu.ops.stats import transposition_count
 
-    # transposition pass (XLA): compact matched chars in order, compare
-    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
-    order_a = jnp.argsort(~matched_a, axis=1, stable=True)
-    order_b = jnp.argsort(~flagged_b, axis=1, stable=True)
-    am = jnp.take_along_axis(a[:R], order_a, axis=1)
-    bm = jnp.take_along_axis(b[:R], order_b, axis=1)
-    t = jnp.sum((am != bm) & (jj < m[:, None]), axis=1).astype(jnp.int32)
+    m = m2[0, :R]
+    # transposition pass (XLA rank-match scan) on the [L, BR] flag tensors
+    t = transposition_count(
+        a_sh[:, :R], b_sh[:, :R], ma[:, :R].astype(bool), fb[:, :R].astype(bool)
+    )
     return m, t

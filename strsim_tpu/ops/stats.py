@@ -160,16 +160,31 @@ def jaro_match_stats(
         ),
     )
 
-    # Transpositions (strsim.rs:220-237): compact the matched chars of each
-    # side in positional order, then count pairwise mismatches among the first
-    # m slots. Stable argsort on the negated flag brings matched positions to
-    # the front without reordering them.
-    order_a = jnp.argsort(~matched_a, axis=0, stable=True)
-    order_b = jnp.argsort(~flagged_b, axis=0, stable=True)
-    am = jnp.take_along_axis(aT, order_a, axis=0)
-    bm = jnp.take_along_axis(bT, order_b, axis=0)
-    t = jnp.sum((am != bm) & (jj < m[None, :]), axis=0).astype(jnp.int32)
+    t = transposition_count(aT, bT, matched_a, flagged_b)
     return m, t
+
+
+def transposition_count(
+    aT: Array, bT: Array, matched_a: Array, flagged_b: Array
+) -> Array:
+    """Jaro transposition count (strsim.rs:220-237): the r-th matched a-char
+    pairs with the r-th flagged b-char. Rather than compacting both sides
+    (argsort is ~12x the cost of the whole match scan on TPU), count
+    mismatches by rank: for each a-position i, its partner is the unique
+    b-position j with rank_b[j] == rank_a[i]; accumulate (a_i != b_j) over an
+    L-step scan with [L, B] working state. All inputs are [L, B]."""
+    L = aT.shape[0]
+    rank_a = jnp.cumsum(matched_a.astype(jnp.int32), axis=0) - 1
+    rank_b = jnp.cumsum(flagged_b.astype(jnp.int32), axis=0) - 1
+
+    def trans_body(i, t):
+        a_i = lax.dynamic_slice_in_dim(aT, i, 1, axis=0)          # [1, B]
+        ra_i = lax.dynamic_slice_in_dim(rank_a, i, 1, axis=0)     # [1, B]
+        ma_i = lax.dynamic_slice_in_dim(matched_a, i, 1, axis=0)  # [1, B]
+        hit = flagged_b & (rank_b == ra_i) & (bT != a_i)
+        return t + jnp.sum(hit & ma_i, axis=0).astype(jnp.int32)
+
+    return lax.fori_loop(0, L, trans_body, jnp.zeros((aT.shape[1],), jnp.int32))
 
 
 def shared_prefix_length(a: Array, b: Array) -> Array:
