@@ -113,4 +113,10 @@ def jaro_match_stats_pallas(
     t = transposition_count(
         a_sh[:, :R], b_sh[:, :R], ma[:, :R].astype(bool), fb[:, :R].astype(bool)
     )
+    # len-1 vs len-1: direct char compare (strsim.rs:197-199); window is empty
+    la_r = len_a[:R].astype(jnp.int32)
+    lb_r = len_b[:R].astype(jnp.int32)
+    one_one = (la_r == 1) & (lb_r == 1)
+    m = jnp.where(one_one, (a_sh[0, :R] == b_sh[0, :R]).astype(jnp.int32), m)
+    t = jnp.where(one_one, 0, t)
     return m, t

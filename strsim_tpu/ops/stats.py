@@ -165,6 +165,14 @@ def jaro_match_stats(
     )
 
     t = transposition_count(aT, bT, matched_a, flagged_b)
+
+    # len-1 vs len-1 pairs: the reference compares the chars directly before
+    # any window math (strsim.rs:197-199) — the greedy window is empty there
+    # (bound = -1), so patch m for exactly that case (t is 0 either way).
+    one_one = (len_a == 1) & (len_b == 1)
+    eq11 = aT[0, :] == bT[0, :]
+    m = jnp.where(one_one, (eq11).astype(jnp.int32), m)
+    t = jnp.where(one_one, 0, t)
     return m, t
 
 

@@ -131,3 +131,15 @@ def test_compile_timeout_oracle_fallback():
     cfg = st.get_config().replace(compile_timeout_s=0.000001, fallback="oracle")
     got = st.compute("jaro_winkler", ["martha"], ["marhta"])
     assert abs(got[0] - 0.9611111111111111) < 1e-12
+
+
+def test_no_fast_path_still_exact():
+    """With the equal fast path off, equal pairs (incl. the len-1 window edge,
+    strsim.rs:197-199) must still be exact through the kernels."""
+    cfg = st.get_config().replace(equal_fast_path=False)
+    col_a = ["s", "s", "x", "same", "ab"]
+    col_b = ["s", "t", "x", "same", "ab"]
+    for measure in sorted(ORACLES):
+        got = st.compute(measure, col_a, col_b, config=cfg)
+        want = np.array([ORACLES[measure](a, b) for a, b in zip(col_a, col_b)])
+        assert got.tobytes() == want.tobytes(), measure
