@@ -95,10 +95,11 @@ def levenshtein_distance(
     diag0 = jnp.where(ii == 0, 0, BIG).astype(sdt) * ones
     diag1 = jnp.where(ii <= 1, 1, BIG).astype(sdt) * ones
 
-    def body(d, state):
-        prev, prev2, acc = state
+    zero = jnp.asarray(0, sdt)
+
+    def one_diag(d, prev, prev2, acc):
         bs = lax.dynamic_slice_in_dim(ext, 2 * L - d, L + 1, axis=0)
-        cost = jnp.where(a_sh != bs, one, jnp.asarray(0, sdt))
+        cost = jnp.where(a_sh != bs, one, zero)
         new = jnp.minimum(
             jnp.minimum(_shift_down(prev, BIG) + one, prev + one),
             _shift_down(prev2, BIG) + cost,
@@ -106,13 +107,24 @@ def levenshtein_distance(
         valid = (ii <= d) & (d - ii <= L)
         new = jnp.where(valid, new, BIG)
         hit = (target_d == d) & lane_a & valid
-        acc = acc + jnp.sum(jnp.where(hit, new, jnp.asarray(0, sdt)), axis=0, dtype=sdt)
-        return new, prev, acc
+        acc = acc + jnp.sum(jnp.where(hit, new, zero), axis=0, dtype=sdt)
+        return new, acc
 
-    _, _, dist = lax.fori_loop(
-        2, 2 * L + 1, body, (diag1, diag0, jnp.zeros((B,), sdt))
+    # two diagonals per loop iteration: halves the loop-carry reloads and
+    # per-iteration overhead (2L-1 is odd, so the last diagonal runs alone)
+    def body2(k, state):
+        prev, prev2, acc = state
+        d = 2 * k + 2
+        new1, acc = one_diag(d, prev, prev2, acc)
+        new2, acc = one_diag(d + 1, new1, prev, acc)
+        return new2, new1, acc
+
+    n_pairs_steps = (2 * L - 1) // 2
+    prev, prev2, acc = lax.fori_loop(
+        0, n_pairs_steps, body2, (diag1, diag0, jnp.zeros((B,), sdt))
     )
-    return dist.astype(jnp.int32)
+    _, acc = one_diag(2 * L, prev, prev2, acc)
+    return acc.astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
