@@ -276,22 +276,7 @@ def run_worker_with_retry(measures_csv: str, out_path: str):
 ALL_MEASURES = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
 
 
-def main():
-    details = {"n_pairs": N_PAIRS, "measures": {}}
-    headline = None
-    for measure in ALL_MEASURES:
-        r = run_worker_with_retry(measure, f"/tmp/strsim_bench_{measure}.json")
-        if r is not None:
-            details["measures"][measure] = r
-            if measure == "levenshtein":
-                headline = r
-    fused = run_worker_with_retry(",".join(ALL_MEASURES), "/tmp/strsim_bench_fused.json")
-    if fused is not None:
-        details["fused"] = fused
-
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"), "w") as f:
-        json.dump(details, f, indent=2)
-
+def _print_headline(headline) -> None:
     if headline is None:
         print(json.dumps({
             "metric": "levenshtein_pairs_per_sec_per_chip_1M_len64",
@@ -299,7 +284,7 @@ def main():
             "unit": "pairs/s",
             "vs_baseline": 0.0,
             "error": "benchmark worker failed/hung (TPU tunnel)",
-        }))
+        }), flush=True)
         return
     # Headline: device-resident kernel throughput (pairs/sec/chip). The e2e
     # figure including host<->device transfer sits in BENCH_DETAILS.json —
@@ -315,7 +300,30 @@ def main():
         "value": round(value, 1),
         "unit": "pairs/s",
         "vs_baseline": round(vs, 2),
-    }))
+    }), flush=True)
+
+
+def main():
+    details = {"n_pairs": N_PAIRS, "measures": {}}
+    # headline measure first; print the JSON line immediately so an external
+    # timeout on the whole benchmark cannot lose it
+    headline = run_worker_with_retry("levenshtein", "/tmp/strsim_bench_levenshtein.json")
+    _print_headline(headline)
+    if headline is not None:
+        details["measures"]["levenshtein"] = headline
+
+    for measure in ALL_MEASURES:
+        if measure == "levenshtein":
+            continue
+        r = run_worker_with_retry(measure, f"/tmp/strsim_bench_{measure}.json")
+        if r is not None:
+            details["measures"][measure] = r
+    fused = run_worker_with_retry(",".join(ALL_MEASURES), "/tmp/strsim_bench_fused.json")
+    if fused is not None:
+        details["fused"] = fused
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
 
 
 if __name__ == "__main__":
