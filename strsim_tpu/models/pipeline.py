@@ -241,7 +241,8 @@ def compute_scores(
         for bucket_w in np.unique(bucket_of):
             sel = idx[bucket_of == bucket_w]
             if bucket_w < 0:
-                _oracle_rows(out, measures, a, b, sel)
+                # beyond the largest bucket: exact host path (native C++)
+                _host_rows(out, measures, a, b, sel, cfg)
                 if metrics is not None:
                     metrics.oracle_rows += int(sel.size)
                     metrics.device_rows -= int(sel.size)
@@ -418,18 +419,3 @@ def _pad_codes(codes: np.ndarray, pad: int, width: int) -> np.ndarray:
     return padded
 
 
-def _pad_rows(codes: np.ndarray, pad: int, rows: int) -> np.ndarray:
-    n, w = codes.shape
-    if n == rows:
-        return np.ascontiguousarray(codes)
-    padded = np.full((rows, w), pad, dtype=codes.dtype)
-    padded[:n] = codes
-    return padded
-
-
-def _pad_vec(v: np.ndarray, rows: int) -> np.ndarray:
-    if v.shape[0] == rows:
-        return np.ascontiguousarray(v)
-    padded = np.zeros(rows, dtype=v.dtype)
-    padded[: v.shape[0]] = v
-    return padded
