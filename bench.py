@@ -142,11 +142,12 @@ def measure_resident(a, b, measures, n_reps=3):
         )
         dtype = np.int8 if cfg.narrow_tiles else np.int32
         n_pad = ((sel.size + block - 1) // block) * block
+        w_have = min(width, a.codes.shape[1])
         packed = np.empty((n_pad, 2 * width), dtype=dtype)
-        packed[: sel.size, :width] = a.codes[sel, :width]
-        packed[: sel.size, width:] = b.codes[sel, :width]
-        packed[sel.size :, :width] = enc.PAD_A
-        packed[sel.size :, width:] = enc.PAD_B
+        packed[:, :width] = enc.PAD_A
+        packed[:, width:] = enc.PAD_B
+        packed[: sel.size, :w_have] = a.codes[sel, :w_have]
+        packed[: sel.size, width : width + w_have] = b.codes[sel, :w_have]
         lens = np.zeros((n_pad, 2), dtype=np.int32)
         lens[: sel.size, 0] = la[sel]
         lens[: sel.size, 1] = lb[sel]
