@@ -137,6 +137,7 @@ def measure_resident(a, b, measures, n_reps=3):
             continue
         width = int(w)
         sel = idx[bucket_of == w]
+        sel = sel[np.argsort(la[sel].astype(np.int64) + lb[sel], kind="stable")]
         block = min(
             pp._block_rows(width, cfg, measures), pp._round_batch(sel.size, cfg)
         )

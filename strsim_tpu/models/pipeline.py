@@ -299,6 +299,11 @@ def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
 def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
     from strsim_tpu.utils.metrics import timer
 
+    # order rows by combined length so blocks are length-homogeneous: the
+    # kernels' dynamic trip counts then let short blocks stop early instead of
+    # paying the bucket's full padded width
+    sel = sel[np.argsort(la[sel].astype(np.int64) + lb[sel], kind="stable")]
+
     codes_a = a.codes[sel, :width] if a.width >= width else _pad_codes(a.codes[sel], enc.PAD_A, width)
     codes_b = b.codes[sel, :width] if b.width >= width else _pad_codes(b.codes[sel], enc.PAD_B, width)
     lens_a = la[sel]

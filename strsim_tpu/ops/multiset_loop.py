@@ -34,4 +34,6 @@ def multiset_intersection_loop(
         valid = i < len_a
         return inter + ((occ < cnt_b) & valid).astype(jnp.int32)
 
-    return lax.fori_loop(0, L, body, jnp.zeros((B,), jnp.int32))
+    # dynamic trip count: steps beyond the block's longest a are no-ops
+    i_max = jnp.clip(jnp.max(len_a), 0, L)
+    return lax.fori_loop(0, i_max, body, jnp.zeros((B,), jnp.int32))

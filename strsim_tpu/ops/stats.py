@@ -110,8 +110,10 @@ def levenshtein_distance(
         acc = acc + jnp.sum(jnp.where(hit, new, zero), axis=0, dtype=sdt)
         return new, acc
 
-    # two diagonals per loop iteration: halves the loop-carry reloads and
-    # per-iteration overhead (2L-1 is odd, so the last diagonal runs alone)
+    # two diagonals per loop iteration (halves loop-carry reloads); the trip
+    # count is DYNAMIC — no diagonal beyond the block's longest la+lb does any
+    # work, so with length-sorted batches each block pays only its true
+    # lengths, not the padded bucket width.
     def body2(k, state):
         prev, prev2, acc = state
         d = 2 * k + 2
@@ -119,11 +121,14 @@ def levenshtein_distance(
         new2, acc = one_diag(d + 1, new1, prev, acc)
         return new2, new1, acc
 
-    n_pairs_steps = (2 * L - 1) // 2
+    d_max = jnp.max(len_a + len_b)  # last diagonal that can carry a capture
+    n_pair_steps = jnp.maximum((d_max - 1) // 2, 0)
     prev, prev2, acc = lax.fori_loop(
-        0, n_pairs_steps, body2, (diag1, diag0, jnp.zeros((B,), sdt))
+        0, n_pair_steps, body2, (diag1, diag0, jnp.zeros((B,), sdt))
     )
-    _, acc = one_diag(2 * L, prev, prev2, acc)
+    # if d_max is even, one trailing diagonal remains (d = d_max itself)
+    last, acc_last = one_diag(2 * n_pair_steps + 2, prev, prev2, acc)
+    acc = jnp.where(d_max % 2 == 0, acc_last, acc)
     return acc.astype(jnp.int32)
 
 
@@ -165,9 +170,12 @@ def jaro_match_stats(
         m = m + found.astype(jnp.int32)
         return flagged_b, matched_a, m
 
+    # dynamic trip count: no step beyond the block's longest active range does
+    # any work (strsim.rs:208's take(len_b + bound) cap, maximized over rows)
+    i_max = jnp.clip(jnp.max(jnp.minimum(len_a, len_b + bound)), 0, L)
     flagged_b, matched_a, m = lax.fori_loop(
         0,
-        L,
+        i_max,
         body,
         (
             jnp.zeros((L, B), bool),
@@ -208,7 +216,10 @@ def transposition_count(
         hit = flagged_b & (rank_b == ra_i) & (bT != a_i)
         return t + jnp.sum(hit & ma_i, axis=0).astype(jnp.int32)
 
-    return lax.fori_loop(0, L, trans_body, jnp.zeros((aT.shape[1],), jnp.int32))
+    # dynamic bound: steps beyond the last matched a-position contribute 0
+    pos1 = jnp.arange(1, L + 1, dtype=jnp.int32)[:, None]
+    i_max = jnp.max(jnp.where(matched_a, pos1, 0))
+    return lax.fori_loop(0, i_max, trans_body, jnp.zeros((aT.shape[1],), jnp.int32))
 
 
 def shared_prefix_length(a: Array, b: Array) -> Array:
