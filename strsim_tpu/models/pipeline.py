@@ -33,13 +33,16 @@ from strsim_tpu.utils import encode as enc
 from strsim_tpu.utils.encode import EncodedColumn
 
 
+_BATCH_MENU = (4096, 16384, 65536)
+
+
 def _round_batch(n: int, cfg: StrsimConfig) -> int:
-    """Round a bucket batch up to a size from a tiny fixed menu {4096, block},
-    bounding distinct compiled shapes per bucket width to at most two. Remote
-    TPU compiles are expensive (tens of seconds through the compile tunnel),
-    so shape diversity costs far more than padded rows."""
-    if n <= 4096:
-        return 4096
+    """Round a bucket batch up to a size from a small fixed menu, bounding
+    distinct compiled shapes per bucket width (remote TPU compiles are
+    expensive) while keeping padded-row waste under ~4x."""
+    for b in _BATCH_MENU:
+        if n <= b and b <= cfg.max_batch_block:
+            return b
     return cfg.max_batch_block
 
 
