@@ -218,11 +218,17 @@ def decode_row(codes: np.ndarray, length: int) -> str:
 def equal_rows(a: EncodedColumn, b: EncodedColumn) -> np.ndarray:
     """Vectorized per-row string equality (the reference's a == b fast path,
     src/expressions/strsim.rs:128). Pads differ between sides, so padded tails
-    never compare equal — equality over the full tile plus a length check is
-    exact."""
+    never compare equal — equality over the tile plus a length check is exact.
+    The character scan only touches rows whose lengths already match."""
     same_len = a.lengths == b.lengths
+    out = np.zeros(a.n, dtype=bool)
+    cand = np.nonzero(same_len)[0]
+    if cand.size == 0:
+        return out
     w = a.codes.shape[1]
+    ca = a.codes[cand]
+    cb = b.codes[cand]
     pos = np.arange(w, dtype=np.int32)[None, :]
-    in_a = pos < a.lengths[:, None]
-    eq = np.all((a.codes == b.codes) | ~in_a, axis=1)
-    return same_len & eq
+    in_a = pos < a.lengths[cand][:, None]
+    out[cand] = np.all((ca == cb) | ~in_a, axis=1)
+    return out
