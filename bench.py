@@ -100,7 +100,7 @@ def _encoded_pair(n):
     return a, b
 
 
-def measure_resident(a, b, measures, n_reps=3):
+def measure_resident(a, b, measures, n_reps=8):
     """Device-resident throughput: inputs pre-staged on device (as in a
     serving pipeline or any multi-op jax program), timed region = kernel
     dispatches + a scalar checksum sync. This is the pairs/sec/chip number —
@@ -158,25 +158,24 @@ def measure_resident(a, b, measures, n_reps=3):
         staged.append((kernel, jnp.asarray(packed), jnp.asarray(lens), n_pad, block))
         n_rows += sel.size
 
-    best = None
-    for _ in range(n_reps):
-        t0 = time.perf_counter()
+    def dispatch_all():
         sums = []
         for kernel, dev_codes, dev_lens, n_pad, block in staged:
-            outs = []
             for start in range(0, n_pad, block):
-                outs.append(
-                    kernel(
-                        lax.slice_in_dim(dev_codes, start, start + block, axis=0),
-                        lax.slice_in_dim(dev_lens, start, start + block, axis=0),
-                    )
+                out = kernel(
+                    lax.slice_in_dim(dev_codes, start, start + block, axis=0),
+                    lax.slice_in_dim(dev_lens, start, start + block, axis=0),
                 )
-            sums.append(jnp.sum(jnp.stack([o.sum() for o in outs])))
-        for s in sums:
-            np.asarray(s)  # tiny sync per bucket
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return n_rows / best
+                sums.append(out.sum())
+        return jnp.sum(jnp.stack(sums))
+
+    np.asarray(dispatch_all())  # warm dispatch path
+    reps = max(n_reps, 1)
+    t0 = time.perf_counter()
+    totals = [dispatch_all() for _ in range(reps)]
+    np.asarray(jnp.sum(jnp.stack(totals)))  # ONE sync for all repetitions
+    dt = time.perf_counter() - t0
+    return reps * n_rows / dt
 
 
 def worker(measures_csv: str, out_path: str) -> None:
