@@ -241,6 +241,10 @@ def compute_scores(
             cfg,
         )
 
+        # two passes: dispatch every bucket's uploads+kernels first (device
+        # queues them; staging of later buckets overlaps compute of earlier
+        # ones), then collect + finalize in order
+        pending = []
         for bucket_w in np.unique(bucket_of):
             sel = idx[bucket_of == bucket_w]
             if bucket_w < 0:
@@ -250,7 +254,11 @@ def compute_scores(
                     metrics.oracle_rows += int(sel.size)
                     metrics.device_rows -= int(sel.size)
                 continue
-            _device_rows(out, measures, a, b, la, lb, sel, int(bucket_w), cfg, metrics)
+            pending.append(
+                _device_dispatch(measures, a, b, la, lb, sel, int(bucket_w), cfg, metrics)
+            )
+        for item in pending:
+            _device_collect(out, measures, item, cfg, metrics)
 
     if metrics is not None:
         metrics.total_wall_s += t_total.lap()
@@ -299,7 +307,9 @@ def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
         )
 
 
-def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
+def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):
+    """Stage one bucket: pack, upload, dispatch kernels. Returns a pending
+    record for _device_collect (or a host-fallback marker)."""
     from strsim_tpu.utils.metrics import timer
 
     # order rows by combined length so blocks are length-homogeneous: the
@@ -326,22 +336,16 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
         ("multiset", cfg.multiset_impl),
     )
     kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg)
+    tm = timer()
     if kernel is None:
         # compile deadline exceeded — exact host fallback for this bucket
-        _host_rows(out, measures, a, b, sel, cfg)
-        if metrics is not None:
-            metrics.oracle_rows += int(sel.size)
-            metrics.device_rows -= int(sel.size)
-        return
-    need = list(_stat_fields(measures))
-    stats_np = {f: np.zeros(sel.size, dtype=np.int64) for f in need}
+        return {"fallback": True, "sel": sel, "a": a, "b": b}
 
-    tm = timer()
     # Round-trips dominate on tunneled TPUs, so per BUCKET the host does
     # exactly: two uploads (whole padded codes + lengths), N async kernel
-    # dispatches on device-side slices, one stacked download. (The reference's
-    # analogue is rayon chunks running concurrently, strsim.rs:72-100 — here
-    # the "threads" are queued device launches.)
+    # dispatches on device-side slices, one stacked download at collect time.
+    # (The reference's analogue is rayon chunks running concurrently,
+    # strsim.rs:72-100 — here the "threads" are queued device launches.)
     n_pad = ((sel.size + block - 1) // block) * block
     calls = n_pad // block
     packed = np.empty((n_pad, 2 * width), dtype=codes_a.dtype)
@@ -365,12 +369,42 @@ def _device_rows(out, measures, a, b, la, lb, sel, width, cfg, metrics=None):
             )
         )
     stacked = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    host = np.asarray(stacked)  # [F, n_pad] — one fetch per bucket
-    for fi, f in enumerate(need):
-        stats_np[f][:] = host[fi, : sel.size]
-    device_dt = tm.lap()
+    dispatch_dt = tm.lap()
+    return {
+        "fallback": False,
+        "sel": sel,
+        "width": width,
+        "block": block,
+        "calls": calls,
+        "lens_a": lens_a,
+        "lens_b": lens_b,
+        "stacked": stacked,
+        "dispatch_dt": dispatch_dt,
+    }
+
+
+def _device_collect(out, measures, item, cfg, metrics=None):
+    from strsim_tpu.utils.metrics import timer
+
+    if item["fallback"]:
+        _host_rows(out, measures, item["a"], item["b"], item["sel"], cfg)
+        if metrics is not None:
+            metrics.oracle_rows += int(item["sel"].size)
+            metrics.device_rows -= int(item["sel"].size)
+        return
+
+    sel = item["sel"]
+    lens_a = item["lens_a"]
+    lens_b = item["lens_b"]
+    need = list(_stat_fields(measures))
+
+    tm = timer()
+    host = np.asarray(item["stacked"])  # [F, n_pad] — one fetch per bucket
+    stats_np = {f: host[fi, : sel.size].astype(np.int64) for fi, f in enumerate(need)}
+    device_dt = item["dispatch_dt"] + tm.lap()
 
     if metrics is not None:
+        width, block, calls = item["width"], item["block"], item["calls"]
         bm = metrics.bucket(width)
         bm.rows += int(sel.size)
         bm.padded_rows += int(calls * block - sel.size)
