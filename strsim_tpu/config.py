@@ -16,7 +16,9 @@ class StrsimConfig:
     # Length buckets (chars). A row pair lands in the smallest bucket that fits
     # max(len_a, len_b); the Levenshtein wavefront cost is O(L^2), so tight
     # buckets are the difference between paying 64^2 and 512^2 per short name.
-    buckets: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512)
+    # ~1.5x ladder caps padded-length waste at 1.5x (2.25x on O(L^2) work);
+    # compiles per extra edge amortize through the persistent compile cache.
+    buckets: Tuple[int, ...] = (8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
 
     # Rows longer than the largest bucket: "oracle" computes them on host with
     # the pure-Python oracle (exact, slow — these are rare outliers); "extend"

@@ -98,15 +98,18 @@ def levenshtein_distance(
     zero = jnp.asarray(0, sdt)
 
     def one_diag(d, prev, prev2, acc):
+        # no validity mask: not-yet-valid lanes (i > d) hold values >= BIG
+        # from initialization and can only overestimate until the boundary
+        # cells (lane 0 / lane d) reach them with exact values — the min
+        # recurrence is self-correcting, and the capture below selects only
+        # provably-valid lanes (i = len_a at d = len_a + len_b).
         bs = lax.dynamic_slice_in_dim(ext, 2 * L - d, L + 1, axis=0)
         cost = jnp.where(a_sh != bs, one, zero)
         new = jnp.minimum(
             jnp.minimum(_shift_down(prev, BIG) + one, prev + one),
             _shift_down(prev2, BIG) + cost,
         )
-        valid = (ii <= d) & (d - ii <= L)
-        new = jnp.where(valid, new, BIG)
-        hit = (target_d == d) & lane_a & valid
+        hit = (target_d == d) & lane_a
         acc = acc + jnp.sum(jnp.where(hit, new, zero), axis=0, dtype=sdt)
         return new, acc
 
