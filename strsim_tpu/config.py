@@ -8,7 +8,7 @@ rounding, kernel implementation selection, mesh shape, and overflow policy.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -18,7 +18,7 @@ Rows longer than the largest bucket fall back to the exact host oracle
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
