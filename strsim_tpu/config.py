@@ -16,9 +16,11 @@ class StrsimConfig:
     # Length buckets (chars). A row pair lands in the smallest bucket that fits
     # max(len_a, len_b); the Levenshtein wavefront cost is O(L^2), so tight
     # buckets are the difference between paying 64^2 and 512^2 per short name.
-    # ~1.5x ladder caps padded-length waste at 1.5x (2.25x on O(L^2) work);
-    # compiles per extra edge amortize through the persistent compile cache.
-    buckets: Tuple[int, ...] = (8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+    # ~1.5x ladder caps padded-length waste (2.25x on O(L^2) work); edges are
+    # ≡ 7 (mod 8) so the wavefront's [L+1, B] state exactly fills int32
+    # sublane tiles (L+1 multiple of 8) — a 2x traffic cut for small buckets.
+    # Compiles per extra edge amortize through the persistent compile cache.
+    buckets: Tuple[int, ...] = (7, 15, 23, 31, 47, 63, 95, 127, 191, 255, 383, 511)
 
     # Rows longer than the largest bucket: "oracle" computes them on host with
     # the pure-Python oracle (exact, slow — these are rare outliers); "extend"
