@@ -243,6 +243,29 @@ def worker(measures_csv: str, out_path: str) -> None:
     }
     _log(f"worker[{measures_csv}]: tpu {N_PAIRS / dt:,.0f} pairs/s ({dt:.2f}s) phases={result['phases']}")
 
+    # per-kernel speed-of-light accounting (north star: roofline per kernel)
+    try:
+        from strsim_tpu.ops.roofline import roofline_report
+
+        kernel_name = {
+            "levenshtein": "levenshtein",
+            "jaro": "jaro",
+            "jaro_winkler": "jaro",
+            "jaccard": "multiset",
+            "sorensen_dice": "multiset",
+        }.get(measures[0])
+        if kernel_name and len(measures) == 1:
+            dominant_w = max(
+                metrics.buckets, key=lambda w: metrics.buckets[w].rows, default=None
+            )
+            if dominant_w:
+                bm = metrics.buckets[dominant_w]
+                result["roofline_dominant_bucket"] = roofline_report(
+                    kernel_name, bm.rows, dominant_w, max(bm.device_wall_s, 1e-9)
+                )
+    except Exception:
+        pass
+
     resident = measure_resident(a, b, measures)
     if resident is None:
         # compiles missed the pipeline deadline; wait them out (they continue
