@@ -64,6 +64,12 @@ class StrsimConfig:
     # Mesh axis name used by the batch-sharded data-parallel layer.
     batch_axis: str = "data"
 
+    # Multi-chip execution: number of local devices to shard the batch over
+    # (None/1 → single device). Blocks are padded to a multiple of this and
+    # placed with a batch-dim NamedSharding; XLA partitions the kernels with
+    # zero collectives.
+    data_parallel_devices: Optional[int] = None
+
     # Device placement: None → jax default.
     device: Optional[object] = None
 

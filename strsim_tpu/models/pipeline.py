@@ -272,14 +272,54 @@ def _abstract_args(block: int, width: int, dtype):
     return (codes, lens)
 
 
+_mesh_cache: Dict[int, object] = {}
+
+
+def _data_mesh(n_dev: int, cfg: StrsimConfig):
+    """A cached 1-D batch mesh over the first n_dev local devices."""
+    mesh = _mesh_cache.get(n_dev)
+    if mesh is None:
+        from jax.sharding import Mesh
+
+        devices = jax.devices()[:n_dev]
+        if len(devices) < n_dev:
+            raise ValueError(f"data_parallel_devices={n_dev} but only {len(devices)} devices")
+        mesh = Mesh(np.array(devices), (cfg.batch_axis,))
+        _mesh_cache[n_dev] = mesh
+    return mesh
+
+
+def _batch_sharding(mesh, cfg: StrsimConfig, ndim: int):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(cfg.batch_axis, *([None] * (ndim - 1))))
+
+
+def _kernel_and_key(measures, impls, block, width, dtype, cfg):
+    """The jit callable + memo key for a shape (optionally batch-sharded over
+    a local device mesh)."""
+    n_dev = cfg.data_parallel_devices or 1
+    fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
+    key = (fields, impls, block, width, np.dtype(dtype).name, n_dev)
+    if n_dev > 1 and block % n_dev == 0:
+        mesh_key = (key, "sharded-jit")
+        kernel = _kernel_cache.get(mesh_key)
+        if kernel is None:
+            mesh = _data_mesh(n_dev, cfg)
+            sh = _batch_sharding(mesh, cfg, 2)
+            kernel = jax.jit(_get_kernel(measures, impls), in_shardings=(sh, sh))
+            _kernel_cache[mesh_key] = kernel
+    else:
+        kernel = _get_kernel(measures, impls)
+    return kernel, key
+
+
 def _compiled_kernel(measures, impls, block, width, dtype, cfg):
     """AOT-compiled executable for this shape, or None if compilation exceeded
     the deadline (caller falls back to the exact host path)."""
     from strsim_tpu.utils.compile_guard import compile_with_timeout
 
-    kernel = _get_kernel(measures, impls)
-    fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
-    key = (fields, impls, block, width, np.dtype(dtype).name)
+    kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg)
     return compile_with_timeout(
         key, kernel, _abstract_args(block, width, dtype), cfg.compile_timeout_s
     )
@@ -297,14 +337,9 @@ def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
         ("jaro", cfg.jaro_impl),
         ("multiset", cfg.multiset_impl),
     )
-    kernel = _get_kernel(measures, impls)
-    fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
     for width, block, dtype in widths_blocks_dtypes:
-        prewarm(
-            (fields, impls, block, width, np.dtype(dtype).name),
-            kernel,
-            _abstract_args(block, width, dtype),
-        )
+        kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg)
+        prewarm(key, kernel, _abstract_args(block, width, dtype))
 
 
 def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):

@@ -132,3 +132,20 @@ def test_roofline_report_shape():
     assert r["bound"] in ("compute", "memory")
     assert r["speed_of_light_s"] > 0 and 0 < r["efficiency"]
     assert r["sol_pairs_per_sec"] > r["pairs_per_sec"] * r["efficiency"] * 0.99
+
+
+def test_pipeline_data_parallel_devices():
+    """compute_scores with data_parallel_devices=8 on the virtual CPU mesh:
+    bit-identical results, kernels actually sharded over the batch."""
+    import strsim_tpu as st
+    from strsim_tpu.models.pipeline import compute_scores
+    from strsim_tpu.ops.oracle import ORACLES
+
+    words = ["phillips", "philips", "smith", "smyth", "washington", "wash"]
+    col_a = [words[i % 6] for i in range(300)]
+    col_b = [words[(i * 7 + 3) % 6] for i in range(300)]
+    cfg = st.get_config().replace(data_parallel_devices=8, equal_fast_path=False)
+    got = compute_scores(col_a, col_b, ("levenshtein", "jaro_winkler"), config=cfg)
+    for m in ("levenshtein", "jaro_winkler"):
+        want = np.array([ORACLES[m](a, b) for a, b in zip(col_a, col_b)])
+        assert got[m][0].tobytes() == want.tobytes(), m
