@@ -32,7 +32,14 @@ MEASURES: Dict[str, Measure] = {
         finalizer=_finalize.FINALIZERS[name],
         oracle=_oracle.ORACLES[name],
     )
-    for name in ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
+    for name in (
+        # reference-parity measures
+        "levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice",
+        # extensions (bigram-multiset; NOT reference measures — note: these
+        # rely on the pipeline's equal fast path for equal pairs shorter than
+        # 2 chars, which is on by default)
+        "jaccard_bigram", "sorensen_dice_bigram",
+    )
 }
 
 MEASURE_NAMES = tuple(MEASURES)

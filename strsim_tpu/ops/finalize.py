@@ -81,12 +81,34 @@ def finalize_sorensen_dice(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.
     return np.where(both_empty, 1.0, sim)
 
 
+def finalize_jaccard_bigram(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: bigram-multiset Jaccard. A side without bigrams scores 0.0
+    (equal pairs are resolved by the pipeline's fast path / kernel equality)."""
+    na = np.maximum(la.astype(np.int64) - 1, 0)
+    nb = np.maximum(lb.astype(np.int64) - 1, 0)
+    inter = stats["inter2"].astype(np.int64)
+    den = na + nb - inter
+    sim = _as_f64(inter) / _as_f64(np.maximum(den, 1))
+    return np.where((na == 0) | (nb == 0), 0.0, sim)
+
+
+def finalize_sorensen_dice_bigram(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: bigram-multiset Sørensen-Dice."""
+    na = np.maximum(la.astype(np.int64) - 1, 0)
+    nb = np.maximum(lb.astype(np.int64) - 1, 0)
+    inter = stats["inter2"].astype(np.int64)
+    sim = (2.0 * _as_f64(inter)) / _as_f64(np.maximum(na + nb, 1))
+    return np.where((na == 0) | (nb == 0), 0.0, sim)
+
+
 FINALIZERS = {
     "levenshtein": finalize_levenshtein,
     "jaro": finalize_jaro,
     "jaro_winkler": finalize_jaro_winkler,
     "jaccard": finalize_jaccard,
     "sorensen_dice": finalize_sorensen_dice,
+    "jaccard_bigram": finalize_jaccard_bigram,
+    "sorensen_dice_bigram": finalize_sorensen_dice_bigram,
 }
 
 

@@ -37,3 +37,31 @@ def multiset_intersection_loop(
     # dynamic trip count: steps beyond the block's longest a are no-ops
     i_max = jnp.clip(jnp.max(len_a), 0, L)
     return lax.fori_loop(0, i_max, body, jnp.zeros((B,), jnp.int32))
+
+
+def bigram_intersection_loop(
+    a: Array, b: Array, len_a: Array, len_b: Array
+) -> Array:
+    """EXTENSION kernel: multiset intersection over BIGRAMS (adjacent char
+    pairs). Same occurrence-rank scan as the unigram kernel with the equality
+    test widened to two positions; row i has len-1 bigrams. Pads differ per
+    side, so comparisons past either length are automatically false."""
+    B, L = a.shape
+    if L < 2:
+        return jnp.zeros((B,), jnp.int32)
+    aT = a.T  # [L, B]
+    bT = b.T
+    a0, a1 = aT[:-1, :], aT[1:, :]   # bigram (a[i], a[i+1]) at row i, [L-1, B]
+    b0, b1 = bT[:-1, :], bT[1:, :]
+    kk = jnp.arange(L - 1, dtype=jnp.int32)[:, None]
+
+    def body(i, inter):
+        g0 = lax.dynamic_slice_in_dim(a0, i, 1, axis=0)
+        g1 = lax.dynamic_slice_in_dim(a1, i, 1, axis=0)
+        cnt_b = jnp.sum((b0 == g0) & (b1 == g1), axis=0)
+        occ = jnp.sum((a0 == g0) & (a1 == g1) & (kk < i), axis=0)
+        valid = i < (len_a - 1)
+        return inter + ((occ < cnt_b) & valid).astype(jnp.int32)
+
+    i_max = jnp.clip(jnp.max(len_a) - 1, 0, L - 1)
+    return lax.fori_loop(0, i_max, body, jnp.zeros((B,), jnp.int32))

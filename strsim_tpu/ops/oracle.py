@@ -146,10 +146,44 @@ def sorensen_dice(a: str, b: str) -> float:
     return 2.0 * num / (la + lb)
 
 
+def _bigrams(s: str):
+    return [s[i : i + 2] for i in range(len(s) - 1)]
+
+
+def bigram_intersection(a: str, b: str) -> int:
+    ca, cb = Counter(_bigrams(a)), Counter(_bigrams(b))
+    return sum(min(ca[g], cb.get(g, 0)) for g in ca)
+
+
+def jaccard_bigram(a: str, b: str) -> float:
+    """EXTENSION (not in the reference): bigram-multiset Jaccard. Pairs with
+    no bigrams on either side score 1.0 iff equal; one side without bigrams
+    scores 0.0."""
+    if a == b:
+        return 1.0
+    na, nb = max(len(a) - 1, 0), max(len(b) - 1, 0)
+    if na == 0 or nb == 0:
+        return 0.0
+    inter = bigram_intersection(a, b)
+    return inter / (na + nb - inter)
+
+
+def sorensen_dice_bigram(a: str, b: str) -> float:
+    """EXTENSION: bigram-multiset Sørensen-Dice (see jaccard_bigram)."""
+    if a == b:
+        return 1.0
+    na, nb = max(len(a) - 1, 0), max(len(b) - 1, 0)
+    if na == 0 or nb == 0:
+        return 0.0
+    return 2.0 * bigram_intersection(a, b) / (na + nb)
+
+
 ORACLES = {
     "levenshtein": levenshtein,
     "jaro": jaro,
     "jaro_winkler": jaro_winkler,
     "jaccard": jaccard,
     "sorensen_dice": sorensen_dice,
+    "jaccard_bigram": jaccard_bigram,
+    "sorensen_dice_bigram": sorensen_dice_bigram,
 }

@@ -275,6 +275,9 @@ STAT_FIELDS = {
     "jaro_winkler": ("jaro_m", "jaro_t", "prefix"),
     "jaccard": ("inter",),
     "sorensen_dice": ("inter",),
+    # extensions (not in the reference): bigram-multiset variants
+    "jaccard_bigram": ("inter2",),
+    "sorensen_dice_bigram": ("inter2",),
 }
 
 
@@ -322,6 +325,10 @@ def compute_stats(
             from strsim_tpu.ops.multiset_loop import multiset_intersection_loop
 
             out["inter"] = multiset_intersection_loop(a, b, len_a, len_b)
+    if "inter2" in need:
+        from strsim_tpu.ops.multiset_loop import bigram_intersection_loop
+
+        out["inter2"] = bigram_intersection_loop(a, b, len_a, len_b)
     return out
 
 
