@@ -9,10 +9,12 @@ import pytest
 import strsim_tpu as st
 from strsim_tpu.ops.oracle import ORACLES
 
+CORE_MEASURES = ("jaccard", "jaro", "jaro_winkler", "levenshtein", "sorensen_dice")
+
 THRESHOLD = 1e-8
 
 
-@pytest.mark.parametrize("measure", sorted(ORACLES))
+@pytest.mark.parametrize("measure", CORE_MEASURES)
 def test_golden_through_pipeline(golden, measure):
     cases = golden[measure]
     col_a = [a for a, _, _ in cases]
@@ -22,7 +24,7 @@ def test_golden_through_pipeline(golden, measure):
     assert np.all(np.abs(got - want) < THRESHOLD)
 
 
-@pytest.mark.parametrize("measure", sorted(ORACLES))
+@pytest.mark.parametrize("measure", CORE_MEASURES)
 def test_bitexact_vs_oracle(golden, measure):
     """Stronger than the golden tolerance: pipeline scores must be bit-for-float
     identical to the oracle (which evaluates the reference's f64 formulas)."""
@@ -139,7 +141,7 @@ def test_no_fast_path_still_exact():
     cfg = st.get_config().replace(equal_fast_path=False)
     col_a = ["s", "s", "x", "same", "ab"]
     col_b = ["s", "t", "x", "same", "ab"]
-    for measure in sorted(ORACLES):
+    for measure in CORE_MEASURES:
         got = st.compute(measure, col_a, col_b, config=cfg)
         want = np.array([ORACLES[measure](a, b) for a, b in zip(col_a, col_b)])
         assert got.tobytes() == want.tobytes(), measure

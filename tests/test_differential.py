@@ -8,6 +8,8 @@ import pytest
 
 import strsim_tpu as st
 from strsim_tpu.ops.oracle import ORACLES
+
+CORE_MEASURES = ("jaccard", "jaro", "jaro_winkler", "levenshtein", "sorensen_dice")
 from strsim_tpu.native import native_available, native_compute_strings
 
 
@@ -36,7 +38,7 @@ def corpus():
     return _corpus()
 
 
-@pytest.mark.parametrize("measure", sorted(ORACLES))
+@pytest.mark.parametrize("measure", CORE_MEASURES)
 def test_all_implementations_agree(corpus, measure):
     col_a = [a for a, _ in corpus]
     col_b = [b for _, b in corpus]

@@ -4,6 +4,8 @@ import pytest
 
 from strsim_tpu.native import native_available, decode_utf8_column, native_compute_strings
 from strsim_tpu.ops.oracle import ORACLES
+
+CORE_MEASURES = ("jaccard", "jaro", "jaro_winkler", "levenshtein", "sorensen_dice")
 from strsim_tpu.utils import encode as enc
 
 pytestmark = pytest.mark.skipif(not native_available(), reason="no g++ toolchain")
@@ -42,7 +44,7 @@ def test_decode_width_overflow():
         decode_utf8_column(data, offsets, validity, width=3, pad=enc.PAD_A)
 
 
-@pytest.mark.parametrize("measure", sorted(ORACLES))
+@pytest.mark.parametrize("measure", CORE_MEASURES)
 def test_native_kernels_bitexact_vs_oracle(golden, measure):
     cases = golden[measure]
     col_a = [a for a, _, _ in cases]

@@ -4,10 +4,12 @@ import pytest
 
 from strsim_tpu.ops.oracle import ORACLES
 
+CORE_MEASURES = ("jaccard", "jaro", "jaro_winkler", "levenshtein", "sorensen_dice")
+
 THRESHOLD = 1e-8
 
 
-@pytest.mark.parametrize("measure", sorted(ORACLES))
+@pytest.mark.parametrize("measure", CORE_MEASURES)
 def test_oracle_golden(golden, measure):
     fn = ORACLES[measure]
     for a, b, expected in golden[measure]:
