@@ -28,40 +28,60 @@ from jax.experimental.pallas import tpu as pltpu
 from strsim_tpu.utils.encode import PAD_A, PAD_B
 
 
+def _round8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
 def _kernel(a_sh_ref, b_ext_ref, len_a_ref, len_b_ref, out_ref, *, L: int):
+    # Lp = sublane-padded state height (L+1 rounded to a multiple of 8); extra
+    # rows hold pad chars, never capture, and garbage flows only downward —
+    # same self-correcting argument as the XLA wavefront.
     BIG = jnp.int32(2 * L + 5)
+    Lp = a_sh_ref.shape[0]
     BR = a_sh_ref.shape[1]
 
-    a_sh = a_sh_ref[:]                       # [L+1, BR]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (L + 1, BR), 0)
+    a_sh = a_sh_ref[:]                       # [Lp, BR]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Lp, BR), 0)
     len_a = len_a_ref[:]                     # [1, BR]
     target_d = len_a + len_b_ref[:]          # [1, BR]
-    lane_a = ii == len_a                     # broadcast [L+1, BR]
+    lane_a = ii == len_a                     # broadcast [Lp, BR]
 
     diag0 = jnp.where(ii == 0, 0, BIG)
     diag1 = jnp.where(ii <= 1, 1, BIG)
 
+    big_row = jnp.full((1, BR), BIG, jnp.int32)
+
     def shift_down(x):
-        # x[i] ← x[i-1]; row 0 ← BIG
-        rolled = pltpu.roll(x, shift=1, axis=0)
-        return jnp.where(ii == 0, BIG, rolled)
+        # x[i] ← x[i-1]; row 0 ← BIG (concat-shift: pltpu.roll hits a Mosaic
+        # compiler fault on this environment's terminal-side compiler)
+        return jnp.concatenate([big_row, x[:-1, :]], axis=0)
+
+    pad_dtype = a_sh_ref.dtype
 
     def body(d, state):
-        prev, prev2, acc = state
-        bs = b_ext_ref[pl.ds(2 * L - d, L + 1), :]
+        prev, prev2, acc, bs = state
+        # shift-register for the b anti-diagonal: row i holds b[d-1-i];
+        # one ascending single-row dynamic read per step
+        b_row = b_ext_ref[pl.ds(d - 1, 1), :]
+        bs = jnp.concatenate([b_row, bs[:-1, :]], axis=0)
         cost = (a_sh != bs).astype(jnp.int32)
         new = jnp.minimum(
             jnp.minimum(shift_down(prev) + 1, prev + 1),
             shift_down(prev2) + cost,
         )
-        valid = (ii <= d) & (d - ii <= L)
-        new = jnp.where(valid, new, BIG)
-        hit = (target_d == d) & lane_a & valid
+        hit = (target_d == d) & lane_a
         acc = acc + jnp.sum(jnp.where(hit, new, 0), axis=0, keepdims=True)
-        return new, prev, acc
+        return new, prev, acc, bs
 
-    _, _, acc = lax.fori_loop(
-        2, 2 * L + 1, body, (diag1, diag0, jnp.zeros((1, BR), jnp.int32))
+    bs0 = jnp.concatenate(
+        [
+            b_ext_ref[pl.ds(0, 1), :],
+            jnp.full((Lp - 1, BR), -2, pad_dtype),  # PAD_B rows
+        ],
+        axis=0,
+    )
+    _, _, acc, _ = lax.fori_loop(
+        2, 2 * L + 1, body, (diag1, diag0, jnp.zeros((1, BR), jnp.int32), bs0)
     )
     out_ref[:] = acc
 
@@ -90,11 +110,21 @@ def levenshtein_distance_pallas(
     Rp = a.shape[0]
 
     # batch-in-lanes preprocessing (plain XLA, fused into the surrounding jit)
+    # with sublane dimensions padded to multiples of 8 (Mosaic block shapes)
+    Lp = _round8(L + 1)
+    ext_rows = _round8(2 * L)
     a_sh = jnp.concatenate(
-        [jnp.full((Rp, 1), PAD_A, a.dtype), a], axis=1
-    ).T  # [L+1, Rp]
-    pad = jnp.full((Rp, L), PAD_B, b.dtype)
-    b_ext = jnp.concatenate([pad, jnp.flip(b, axis=1), pad], axis=1).T  # [3L, Rp]
+        [
+            jnp.full((Rp, 1), PAD_A, a.dtype),
+            a,
+            jnp.full((Rp, Lp - (L + 1)), PAD_A, a.dtype),
+        ],
+        axis=1,
+    ).T  # [Lp, Rp]
+    # plain b rows + PAD tail: the kernel shift-registers one row per diagonal
+    b_ext = jnp.concatenate(
+        [b, jnp.full((Rp, ext_rows - L), PAD_B, b.dtype)], axis=1
+    ).T  # [ext_rows, Rp]
     la2 = len_a.astype(jnp.int32)[None, :]
     lb2 = len_b.astype(jnp.int32)[None, :]
 
@@ -104,8 +134,8 @@ def levenshtein_distance_pallas(
         out_shape=jax.ShapeDtypeStruct((1, Rp), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L + 1, BR), lambda g: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * L, BR), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Lp, BR), lambda g: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ext_rows, BR), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BR), lambda g: (0, g), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BR), lambda g: (0, g), memory_space=pltpu.VMEM),
         ],
