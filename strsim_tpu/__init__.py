@@ -38,6 +38,8 @@ from strsim_tpu.api import (
     jaro_winkler,
     jaccard,
     sorensen_dice,
+    jaccard_bigram,
+    sorensen_dice_bigram,
     compute,
     compute_many,
     compute_with_validity,
@@ -56,6 +58,8 @@ __all__ = [
     "jaro_winkler",
     "jaccard",
     "sorensen_dice",
+    "jaccard_bigram",
+    "sorensen_dice_bigram",
     "compute",
     "compute_many",
     "compute_with_validity",

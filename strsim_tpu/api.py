@@ -108,3 +108,7 @@ jaro = _measure_fn("jaro")
 jaro_winkler = _measure_fn("jaro_winkler")
 jaccard = _measure_fn("jaccard")
 sorensen_dice = _measure_fn("sorensen_dice")
+
+# extension measures (bigram-multiset; not in the reference — see docs/API.md)
+jaccard_bigram = _measure_fn("jaccard_bigram")
+sorensen_dice_bigram = _measure_fn("sorensen_dice_bigram")
