@@ -172,6 +172,10 @@ def compute_scores(
 
     if isinstance(col_a, EncodedColumn) and isinstance(col_b, EncodedColumn):
         a, b = col_a, col_b
+        if a.width != b.width:  # harmonize pre-encoded columns
+            w = max(a.width, b.width)
+            a = enc._repad(a, enc.PAD_A, w)
+            b = enc._repad(b, enc.PAD_B, w)
     else:
         a, b = enc.encode_pair(col_a, col_b)
     a, b = _broadcast_pair(a, b)

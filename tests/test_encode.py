@@ -62,3 +62,16 @@ def test_non_string_raises():
 def test_width_too_small_raises():
     with pytest.raises(ValueError):
         enc.encode_column(["abcdef"], width=3)
+
+
+def test_pipeline_harmonizes_encoded_widths():
+    import strsim_tpu as st
+
+    a = enc.encode_column(["phillips"], pad=enc.PAD_A)       # width 8
+    b = enc.encode_column(["philipsfamily"], pad=enc.PAD_B)  # width 13
+    from strsim_tpu.models.pipeline import compute_scores
+
+    vals, valid = compute_scores(a, b, ("levenshtein",))["levenshtein"]
+    from strsim_tpu.ops.oracle import ORACLES
+
+    assert vals[0] == ORACLES["levenshtein"]("phillips", "philipsfamily")
