@@ -141,8 +141,10 @@ def measure_resident(a, b, measures, n_reps=8):
         block = min(
             pp._block_rows(width, cfg, measures), pp._round_batch(sel.size, cfg)
         )
+        chunks = pp._chunks_for(sel.size, block)
         dtype = np.int8 if cfg.narrow_tiles else np.int32
-        n_pad = ((sel.size + block - 1) // block) * block
+        group = chunks * block
+        n_pad = ((sel.size + group - 1) // group) * group
         w_have = min(width, a.codes.shape[1])
         packed = np.empty((n_pad, 2 * width), dtype=dtype)
         packed[:, :width] = enc.PAD_A
@@ -152,20 +154,25 @@ def measure_resident(a, b, measures, n_reps=8):
         lens = np.zeros((n_pad, 2), dtype=np.int32)
         lens[: sel.size, 0] = la[sel]
         lens[: sel.size, 1] = lb[sel]
-        kernel = pp._compiled_kernel(measures, impls, block, width, dtype, cfg)
+        kernel = pp._compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
         if kernel is None:
             return None  # compiles didn't land; resident number unavailable
-        dev_codes = jnp.asarray(packed)
-        dev_lens = jnp.asarray(lens)
-        # pre-slice blocks once; the timed loop dispatches only kernel calls
-        for start in range(0, n_pad, block):
-            staged.append(
-                (
-                    kernel,
-                    lax.slice_in_dim(dev_codes, start, start + block, axis=0),
-                    lax.slice_in_dim(dev_lens, start, start + block, axis=0),
+        if chunks > 1:
+            dev_codes = jnp.asarray(packed.reshape(-1, chunks, block, 2 * width))
+            dev_lens = jnp.asarray(lens.reshape(-1, chunks, block, 2))
+            for g in range(n_pad // group):
+                staged.append((kernel, dev_codes[g], dev_lens[g]))
+        else:
+            dev_codes = jnp.asarray(packed)
+            dev_lens = jnp.asarray(lens)
+            for start in range(0, n_pad, block):
+                staged.append(
+                    (
+                        kernel,
+                        lax.slice_in_dim(dev_codes, start, start + block, axis=0),
+                        lax.slice_in_dim(dev_lens, start, start + block, axis=0),
+                    )
                 )
-            )
         n_rows += sel.size
 
     def dispatch_all():

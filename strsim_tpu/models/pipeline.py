@@ -229,21 +229,12 @@ def compute_scores(
             and b.codes.max(initial=0) < 128
             else np.int32
         )
-        prewarm_shapes(
-            measures,
-            [
-                (
-                    w,
-                    min(
-                        _block_rows(w, cfg, measures),
-                        _round_batch(int((bucket_of == w).sum()), cfg),
-                    ),
-                    ascii_dtype,
-                )
-                for w in buckets_present
-            ],
-            cfg,
-        )
+        shapes = []
+        for w in buckets_present:
+            n_w = int((bucket_of == w).sum())
+            blk = min(_block_rows(w, cfg, measures), _round_batch(n_w, cfg))
+            shapes.append((w, blk, ascii_dtype, _chunks_for(n_w, blk)))
+        prewarm_shapes(measures, shapes, cfg)
 
         # two passes: dispatch every bucket's uploads+kernels first (device
         # queues them; staging of later buckets overlaps compute of earlier
@@ -270,10 +261,25 @@ def compute_scores(
     return {m: (out[m], validity) for m in measures}
 
 
-def _abstract_args(block: int, width: int, dtype):
-    codes = jax.ShapeDtypeStruct((block, 2 * width), dtype)
-    lens = jax.ShapeDtypeStruct((block, 2), jnp.int32)
+def _abstract_args(block: int, width: int, dtype, chunks: int = 1):
+    if chunks > 1:
+        codes = jax.ShapeDtypeStruct((chunks, block, 2 * width), dtype)
+        lens = jax.ShapeDtypeStruct((chunks, block, 2), jnp.int32)
+    else:
+        codes = jax.ShapeDtypeStruct((block, 2 * width), dtype)
+        lens = jax.ShapeDtypeStruct((block, 2), jnp.int32)
     return (codes, lens)
+
+
+_CHUNK_MENU = (1, 2, 4, 8)
+
+
+def _chunks_for(n: int, block: int) -> int:
+    raw = max(1, -(-n // block))
+    for c in _CHUNK_MENU:
+        if raw <= c:
+            return c
+    return _CHUNK_MENU[-1]
 
 
 _mesh_cache: Dict[int, object] = {}
@@ -299,33 +305,65 @@ def _batch_sharding(mesh, cfg: StrsimConfig, ndim: int):
     return NamedSharding(mesh, P(cfg.batch_axis, *([None] * (ndim - 1))))
 
 
-def _kernel_and_key(measures, impls, block, width, dtype, cfg):
+def _get_chunked_kernel(measures, impls, chunks: int):
+    """One-dispatch-per-bucket kernel: lax.map over `chunks` blocks. Dispatch
+    overhead through a relay is ~ms-scale per launch; a bucket of C blocks
+    costs one launch instead of C."""
+    fields = _stat_fields(measures)
+    key = (fields, impls, "chunked", chunks)
+    fn = _kernel_cache.get(key)
+    if fn is None:
+        base = _get_kernel(measures, impls)
+
+        def chunked(codes3, lens3):  # [C, blk, 2W], [C, blk, 2] -> [C, F, blk]
+            return lax.map(lambda t: base(t[0], t[1]), (codes3, lens3))
+
+        fn = jax.jit(chunked)
+        _kernel_cache[key] = fn
+    return fn
+
+
+def _kernel_and_key(measures, impls, block, width, dtype, cfg, chunks: int = 1):
     """The jit callable + memo key for a shape (optionally batch-sharded over
-    a local device mesh)."""
+    a local device mesh, optionally chunked into one dispatch per bucket)."""
     n_dev = cfg.data_parallel_devices or 1
     fields = tuple(sorted({f for m in measures for f in STAT_FIELDS[m]}))
-    key = (fields, impls, block, width, np.dtype(dtype).name, n_dev)
+    key = (fields, impls, block, width, np.dtype(dtype).name, n_dev, chunks)
     if n_dev > 1 and block % n_dev == 0:
         mesh_key = (key, "sharded-jit")
         kernel = _kernel_cache.get(mesh_key)
         if kernel is None:
             mesh = _data_mesh(n_dev, cfg)
             sh = _batch_sharding(mesh, cfg, 2)
-            kernel = jax.jit(_get_kernel(measures, impls), in_shardings=(sh, sh))
+            base = _get_kernel(measures, impls)
+            if chunks > 1:
+                sh3 = _batch_sharding(mesh, cfg, 3)  # shard the block dim? no —
+                # shard dim 1 (rows) instead: spec (None, batch_axis, None)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh3 = NamedSharding(mesh, P(None, cfg.batch_axis, None))
+                kernel = jax.jit(
+                    _get_chunked_kernel(measures, impls, chunks),
+                    in_shardings=(sh3, sh3),
+                )
+            else:
+                kernel = jax.jit(base, in_shardings=(sh, sh))
             _kernel_cache[mesh_key] = kernel
+    elif chunks > 1:
+        kernel = _get_chunked_kernel(measures, impls, chunks)
     else:
         kernel = _get_kernel(measures, impls)
     return kernel, key
 
 
-def _compiled_kernel(measures, impls, block, width, dtype, cfg):
+def _compiled_kernel(measures, impls, block, width, dtype, cfg, chunks: int = 1):
     """AOT-compiled executable for this shape, or None if compilation exceeded
     the deadline (caller falls back to the exact host path)."""
     from strsim_tpu.utils.compile_guard import compile_with_timeout
 
-    kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg)
+    kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg, chunks)
     return compile_with_timeout(
-        key, kernel, _abstract_args(block, width, dtype), cfg.compile_timeout_s
+        key, kernel, _abstract_args(block, width, dtype, chunks), cfg.compile_timeout_s
     )
 
 
@@ -341,9 +379,11 @@ def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
         ("jaro", cfg.jaro_impl),
         ("multiset", cfg.multiset_impl),
     )
-    for width, block, dtype in widths_blocks_dtypes:
-        kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg)
-        prewarm(key, kernel, _abstract_args(block, width, dtype))
+    for spec in widths_blocks_dtypes:
+        width, block, dtype = spec[:3]
+        chunks = spec[3] if len(spec) > 3 else 1
+        kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg, chunks)
+        prewarm(key, kernel, _abstract_args(block, width, dtype, chunks))
 
 
 def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):
@@ -369,24 +409,26 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):
             codes_b = codes_b.astype(np.int8)
 
     block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
+    chunks = _chunks_for(sel.size, block)
     impls = (
         ("levenshtein", cfg.levenshtein_impl),
         ("jaro", cfg.jaro_impl),
         ("multiset", cfg.multiset_impl),
     )
-    kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg)
+    kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
     tm = timer()
     if kernel is None:
         # compile deadline exceeded — exact host fallback for this bucket
         return {"fallback": True, "sel": sel, "a": a, "b": b}
 
     # Round-trips dominate on tunneled TPUs, so per BUCKET the host does
-    # exactly: two uploads (whole padded codes + lengths), N async kernel
-    # dispatches on device-side slices, one stacked download at collect time.
+    # exactly: two uploads (whole padded codes + lengths), ONE chunked kernel
+    # dispatch per group of blocks, one stacked download at collect time.
     # (The reference's analogue is rayon chunks running concurrently,
-    # strsim.rs:72-100 — here the "threads" are queued device launches.)
-    n_pad = ((sel.size + block - 1) // block) * block
-    calls = n_pad // block
+    # strsim.rs:72-100 — here the "threads" are device-side lax.map chunks;
+    # chunk padding is near-free thanks to the kernels' dynamic trip counts.)
+    group = chunks * block
+    n_pad = ((sel.size + group - 1) // group) * group
     packed = np.empty((n_pad, 2 * width), dtype=codes_a.dtype)
     packed[: sel.size, :width] = codes_a
     packed[: sel.size, width:] = codes_b
@@ -397,27 +439,34 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):
     lens[: sel.size, 0] = lens_a
     lens[: sel.size, 1] = lens_b
 
-    dev_codes = jnp.asarray(packed)
-    dev_lens = jnp.asarray(lens)
     outs = []
-    for start in range(0, n_pad, block):
-        outs.append(
-            kernel(
-                lax.slice_in_dim(dev_codes, start, start + block, axis=0),
-                lax.slice_in_dim(dev_lens, start, start + block, axis=0),
+    if chunks > 1:
+        dev_codes = jnp.asarray(packed.reshape(-1, chunks, block, 2 * width))
+        dev_lens = jnp.asarray(lens.reshape(-1, chunks, block, 2))
+        for g in range(n_pad // group):
+            outs.append(kernel(dev_codes[g], dev_lens[g]))  # [C, F, block]
+    else:
+        dev_codes = jnp.asarray(packed)
+        dev_lens = jnp.asarray(lens)
+        for start in range(0, n_pad, block):
+            outs.append(
+                kernel(
+                    lax.slice_in_dim(dev_codes, start, start + block, axis=0),
+                    lax.slice_in_dim(dev_lens, start, start + block, axis=0),
+                )
             )
-        )
-    stacked = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     dispatch_dt = tm.lap()
     return {
         "fallback": False,
         "sel": sel,
         "width": width,
         "block": block,
-        "calls": calls,
+        "chunks": chunks,
+        "calls": len(outs),
+        "n_pad": n_pad,
         "lens_a": lens_a,
         "lens_b": lens_b,
-        "stacked": stacked,
+        "outs": outs,
         "dispatch_dt": dispatch_dt,
     }
 
@@ -438,15 +487,22 @@ def _device_collect(out, measures, item, cfg, metrics=None):
     need = list(_stat_fields(measures))
 
     tm = timer()
-    host = np.asarray(item["stacked"])  # [F, n_pad] — one fetch per bucket
+    # fetch each dispatch's output; chunked outputs are [C, F, block]
+    parts = []
+    for o in item["outs"]:
+        h = np.asarray(o)
+        if h.ndim == 3:  # [C, F, block] -> [F, C*block]
+            h = np.concatenate(list(h), axis=1)
+        parts.append(h)
+    host = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
     stats_np = {f: host[fi, : sel.size].astype(np.int64) for fi, f in enumerate(need)}
     device_dt = item["dispatch_dt"] + tm.lap()
 
     if metrics is not None:
-        width, block, calls = item["width"], item["block"], item["calls"]
+        width, calls = item["width"], item["calls"]
         bm = metrics.bucket(width)
         bm.rows += int(sel.size)
-        bm.padded_rows += int(calls * block - sel.size)
+        bm.padded_rows += int(item["n_pad"] - sel.size)
         bm.char_lanes += int(sel.size) * width
         bm.useful_char_lanes += int(np.maximum(lens_a, lens_b).sum())
         bm.device_calls += calls
