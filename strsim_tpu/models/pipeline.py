@@ -271,7 +271,10 @@ def _abstract_args(block: int, width: int, dtype, chunks: int = 1):
     return (codes, lens)
 
 
-_CHUNK_MENU = (1, 2, 4, 8)
+# chunked (lax.map) dispatch measured no better than flat async dispatches on
+# this hardware; keep the machinery but default to flat (menu (1,)) so the
+# compile cache stays small. Set (1, 2, 4, 8) to re-enable grouping.
+_CHUNK_MENU = (1,)
 
 
 def _chunks_for(n: int, block: int) -> int:
