@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import time
 
 import numpy as np
@@ -135,6 +136,9 @@ def main():
         "5_skew_multihost": lambda: config_skew(args.skew_pairs),
     }
     out = {}
+    existing = pathlib.Path("BENCH_CONFIGS.json")
+    if args.only and existing.exists():
+        out = json.loads(existing.read_text())  # merge partial reruns
     for name, fn in configs.items():
         if args.only and args.only not in name:
             continue
