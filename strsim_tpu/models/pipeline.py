@@ -33,7 +33,7 @@ from strsim_tpu.utils import encode as enc
 from strsim_tpu.utils.encode import EncodedColumn
 
 
-_BATCH_MENU = (4096, 16384, 65536)
+_BATCH_MENU = (512, 4096, 16384, 65536)
 
 
 def _round_batch(n: int, cfg: StrsimConfig) -> int:
