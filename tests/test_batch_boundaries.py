@@ -31,3 +31,19 @@ def test_large_broadcast():
     assert got[0] == 1.0 if col[0] == "phillips" else True
     assert np.all((got == 1.0) | (np.abs(got - 0.875) < 1e-12))
     assert abs(float(got[[i for i in range(n) if i % 3 == 0][0]]) - 0.875) < 1e-12
+
+
+def test_chunked_dispatch_path(monkeypatch):
+    """The lax.map chunked machinery (off by default) stays correct."""
+    from strsim_tpu.models import pipeline as pp
+
+    monkeypatch.setattr(pp, "_CHUNK_MENU", (1, 2, 4))
+    cfg = st.get_config().replace(max_batch_block=512, equal_fast_path=False)
+    n = 1500  # 3 blocks of 512 -> chunks=4 (padded) in one dispatch
+    col_a = ["phillips" if i % 2 else "philips" for i in range(n)]
+    col_b = ["philips"] * n
+    got = st.compute("levenshtein", col_a, col_b, config=cfg)
+    from strsim_tpu.ops.oracle import ORACLES
+
+    want = np.array([ORACLES["levenshtein"](a, b) for a, b in zip(col_a, col_b)])
+    assert got.tobytes() == want.tobytes()
