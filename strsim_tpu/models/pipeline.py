@@ -543,6 +543,7 @@ def _host_rows(out, measures, a, b, sel, cfg):
                         b.codes[sel],
                         b.lengths[sel],
                         None,
+                        threads=0,  # all cores — this is the fallback path
                     )
                 return
         except Exception:

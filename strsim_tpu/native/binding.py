@@ -94,8 +94,11 @@ def native_compute(
     codes_b: np.ndarray,
     lengths_b: np.ndarray,
     validity: Optional[np.ndarray] = None,
+    threads: int = 1,
 ) -> np.ndarray:
-    """Single-core scalar scoring over padded tiles (exact reference math)."""
+    """Scalar scoring over padded tiles (exact reference math). threads=1 is
+    the per-core baseline; threads=0 uses all cores (the engine's host
+    fallback, analogous to the reference's rayon pool)."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -108,7 +111,7 @@ def native_compute(
         if validity is not None
         else None
     )
-    lib.strsim_compute(
+    args = (
         MEASURE_IDS[measure],
         _ptr(fa, ctypes.c_int32),
         _ptr(oa, ctypes.c_int64),
@@ -116,8 +119,11 @@ def native_compute(
         _ptr(ob, ctypes.c_int64),
         _ptr(val, ctypes.c_uint8) if val is not None else None,
         n,
-        _ptr(out, ctypes.c_double),
     )
+    if threads == 1:
+        lib.strsim_compute(*args, _ptr(out, ctypes.c_double))
+    else:
+        lib.strsim_compute_mt(*args, threads, _ptr(out, ctypes.c_double))
     return out
 
 

@@ -27,7 +27,7 @@ def _cache_dir() -> pathlib.Path:
 
 
 _CXXFLAGS = [
-    "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+    "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
     # bit-for-float parity with the reference requires strict IEEE ops:
     # no FMA contraction (x*y+z fused changes the last ulp of winkler)
     "-ffp-contract=off",
@@ -74,6 +74,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.strsim_compute.restype = None
         lib.strsim_compute.argtypes = [
             ctypes.c_int32, i32p, i64p, i32p, i64p, i8p, ctypes.c_int64, f64p,
+        ]
+        lib.strsim_compute_mt.restype = None
+        lib.strsim_compute_mt.argtypes = [
+            ctypes.c_int32, i32p, i64p, i32p, i64p, i8p, ctypes.c_int64,
+            ctypes.c_int32, f64p,
         ]
         _LIB = lib
         return _LIB

@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <unordered_map>
 #include <utility>
 #include <vector>
@@ -263,16 +264,16 @@ double dice_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
 
 extern "C" {
 
-// measure: 0=levenshtein 1=jaro 2=jaro_winkler 3=jaccard 4=sorensen_dice
-// Ragged layout: codes_* concatenated codepoints, off_*: n+1 offsets.
-// validity: optional; null rows produce NaN. Single-threaded by design —
-// this is the per-core baseline the TPU engine is measured against.
-void strsim_compute(int32_t measure, const int32_t* codes_a,
-                    const int64_t* off_a, const int32_t* codes_b,
-                    const int64_t* off_b, const uint8_t* validity, int64_t n,
-                    double* out) {
+namespace {
+
+// One contiguous row range, one scratch object (the reference gives each
+// rayon chunk its own kernel instance, strsim.rs:78-84 — same idea).
+void compute_range(int32_t measure, const int32_t* codes_a,
+                   const int64_t* off_a, const int32_t* codes_b,
+                   const int64_t* off_b, const uint8_t* validity, int64_t lo,
+                   int64_t hi, double* out) {
   Scratch s;
-  for (int64_t r = 0; r < n; ++r) {
+  for (int64_t r = lo; r < hi; ++r) {
     if (validity && !validity[r]) {
       out[r] = std::numeric_limits<double>::quiet_NaN();
       continue;
@@ -290,6 +291,44 @@ void strsim_compute(int32_t measure, const int32_t* codes_a,
       default: out[r] = -1.0;
     }
   }
+}
+
+}  // namespace
+
+// measure: 0=levenshtein 1=jaro 2=jaro_winkler 3=jaccard 4=sorensen_dice
+// Ragged layout: codes_* concatenated codepoints, off_*: n+1 offsets.
+// validity: optional; null rows produce NaN. Single-threaded by design —
+// this is the per-core baseline the TPU engine is measured against.
+void strsim_compute(int32_t measure, const int32_t* codes_a,
+                    const int64_t* off_a, const int32_t* codes_b,
+                    const int64_t* off_b, const uint8_t* validity, int64_t n,
+                    double* out) {
+  compute_range(measure, codes_a, off_a, codes_b, off_b, validity, 0, n, out);
+}
+
+// Multi-threaded variant: equal row ranges over `threads` std::threads (the
+// engine's host-fallback path; the reference's rayon analogue,
+// strsim.rs:72-105). threads <= 0 -> hardware concurrency.
+void strsim_compute_mt(int32_t measure, const int32_t* codes_a,
+                       const int64_t* off_a, const int32_t* codes_b,
+                       const int64_t* off_b, const uint8_t* validity,
+                       int64_t n, int32_t threads, double* out) {
+  int64_t t = threads > 0 ? threads : (int64_t)std::thread::hardware_concurrency();
+  if (t <= 1 || n < 4096) {
+    compute_range(measure, codes_a, off_a, codes_b, off_b, validity, 0, n, out);
+    return;
+  }
+  t = std::min<int64_t>(t, n);
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  int64_t chunk = n / t;
+  for (int64_t i = 0; i < t; ++i) {
+    int64_t lo = i * chunk;
+    int64_t hi = (i == t - 1) ? n : lo + chunk;
+    pool.emplace_back(compute_range, measure, codes_a, off_a, codes_b, off_b,
+                      validity, lo, hi, out);
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

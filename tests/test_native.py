@@ -57,3 +57,21 @@ def test_native_kernels_bitexact_vs_oracle(golden, measure):
 def test_native_null_rows_nan():
     got = native_compute_strings("jaro", ["a", None], ["a", "b"])
     assert got[0] == 1.0 and np.isnan(got[1])
+
+
+def test_native_multithreaded_bitexact():
+    import random
+
+    rng = random.Random(5)
+    words = ["phillips", "philips", "smith", "smyth", "", "washington-irving"]
+    col_a = [words[rng.randrange(6)] for _ in range(20000)]
+    col_b = [words[rng.randrange(6)] for _ in range(20000)]
+    from strsim_tpu.utils import encode as enc
+    from strsim_tpu.native import native_compute
+
+    a = enc.encode_column(col_a, pad=enc.PAD_A)
+    b = enc.encode_column(col_b, pad=enc.PAD_B)
+    for m in ("levenshtein", "jaro_winkler"):
+        st1 = native_compute(m, a.codes, a.lengths, b.codes, b.lengths, None, threads=1)
+        mt = native_compute(m, a.codes, a.lengths, b.codes, b.lengths, None, threads=0)
+        assert st1.tobytes() == mt.tobytes(), m
