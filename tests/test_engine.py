@@ -44,3 +44,20 @@ def test_polars_literal_broadcast():
         lev=levenshtein("a", pl.lit("smith"))
     )
     assert df["lev"].to_list() == [1.0, 0.8]
+
+
+def test_engine_metrics_accumulate():
+    eng = st.StrsimEngine()
+    eng.compute("jaro", ["abc"], ["abd"])
+    eng.compute("jaro", ["x", "y"], ["x", "z"])
+    rep = eng.report()
+    assert rep["n_rows"] == 3
+    eng.reset_metrics()
+    assert eng.report()["n_rows"] == 0
+
+
+def test_engine_compute_with_validity():
+    eng = st.StrsimEngine()
+    res = eng.compute_with_validity(("jaccard",), ["ab", None], ["ba", "x"])
+    vals, valid = res["jaccard"]
+    assert vals[0] == 1.0 and not valid[1]
