@@ -39,3 +39,22 @@ def test_validity_none_when_all_present():
     assert col.validity is None
     e = col.encode()
     assert e.validity.all()
+
+
+def test_max_chars_numpy_fallback(monkeypatch):
+    from strsim_tpu.native import build as nb
+
+    monkeypatch.setattr(nb, "get_lib", lambda: None)
+    col = ArrowStringColumn.from_strings(["héllo", "ab", None, "日本語語"])
+    assert col.max_chars() == 5
+
+
+def test_decode_numpy_fallback(monkeypatch):
+    from strsim_tpu.native import binding as nbind
+
+    monkeypatch.setattr(nbind, "get_lib", lambda: None)
+    col = ArrowStringColumn.from_strings(["héllo", "", None])
+    e = col.encode(pad=enc.PAD_A)
+    ref = enc.encode_column(["héllo", "", None], pad=enc.PAD_A, width=e.width)
+    np.testing.assert_array_equal(e.codes, ref.codes)
+    np.testing.assert_array_equal(e.lengths, ref.lengths)
