@@ -127,3 +127,14 @@ def test_multiset_kernel_fuzz(fuzz_pairs):
     inter = np.asarray(stats.multiset_intersection(ca, cb, la, lb))
     want = np.array([oracle.multiset_intersection(a, b) for a, b in pairs])
     np.testing.assert_array_equal(inter, want)
+
+
+def test_multiset_table_impl_via_config():
+    import strsim_tpu as st
+
+    cfg = st.get_config().replace(multiset_impl="table", equal_fast_path=False)
+    col_a = ["myers", "phillips", "aabbcc"]
+    col_b = ["myres", "philips", "abcabc"]
+    got = st.compute("jaccard", col_a, col_b, config=cfg)
+    want = np.array([oracle.ORACLES["jaccard"](a, b) for a, b in zip(col_a, col_b)])
+    assert got.tobytes() == want.tobytes()
