@@ -49,3 +49,8 @@ def test_stream_producer_error_surfaces():
 
     with pytest.raises(RuntimeError, match="source failed"):
         list(compute_stream(bad(), ("jaro",)))
+
+
+def test_stream_prefetch_depth():
+    out = dict(compute_stream(_batches(3, 20), ("jaccard",), prefetch=2))
+    assert len(out) == 3
