@@ -79,11 +79,11 @@ class StrsimConfig:
                 return edge
         if self.overflow_policy == "extend":
             edge = self.buckets[-1]
-            while edge < max_len and edge < self.max_extend_len:
-                edge *= 2
-            if max_len <= edge:
+            while edge < max_len and edge <= self.max_extend_len:
+                edge = edge * 2 + 1  # keep the L+1-multiple-of-8 alignment
+            if max_len <= edge and edge <= self.max_extend_len:
                 return edge
-        return -1  # caller falls back to oracle
+        return -1  # caller falls back to oracle (exact native host path)
 
     def replace(self, **kw) -> "StrsimConfig":
         return dataclasses.replace(self, **kw)
