@@ -100,7 +100,8 @@ def config_skew(n_pairs: int, n_hosts: int = 4):
     a, b = _encode(base_a, base_b)
 
     measures = ["levenshtein"]
-    costs = part.row_cost(a.lengths.astype(np.int64), b.lengths.astype(np.int64), measures, (8, 16, 32, 64, 128, 256, 512))
+    from strsim_tpu.config import get_config
+    costs = part.row_cost(a.lengths.astype(np.int64), b.lengths.astype(np.int64), measures, get_config().buckets)
     balanced = part.cost_balanced_partition(costs, n_hosts)
     equal = [np.arange(off, off + ln) for off, ln in part.split_offsets(n_pairs, n_hosts)]
     rep_b = part.balance_report(costs, balanced)
