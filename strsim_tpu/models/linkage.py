@@ -25,6 +25,10 @@ from strsim_tpu.config import StrsimConfig, get_config
 from strsim_tpu.utils import encode as enc
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _scan_scorer(measure: str, k: int):
     from strsim_tpu.ops.finalize_device import scores_on_device
 
