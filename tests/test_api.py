@@ -145,3 +145,14 @@ def test_no_fast_path_still_exact():
         got = st.compute(measure, col_a, col_b, config=cfg)
         want = np.array([ORACLES[measure](a, b) for a, b in zip(col_a, col_b)])
         assert got.tobytes() == want.tobytes(), measure
+
+
+def test_kernel_cache_stable_across_calls():
+    """Repeated same-shape calls must not grow the kernel cache (no retraces)."""
+    from strsim_tpu.models import pipeline as pp
+
+    st.compute("jaro", ["warm"], ["warmup"])
+    before = len(pp._kernel_cache)
+    for _ in range(3):
+        st.compute("jaro", ["abc"], ["abd"])
+    assert len(pp._kernel_cache) == before
