@@ -138,3 +138,21 @@ def test_multiset_table_impl_via_config():
     got = st.compute("jaccard", col_a, col_b, config=cfg)
     want = np.array([oracle.ORACLES["jaccard"](a, b) for a, b in zip(col_a, col_b)])
     assert got.tobytes() == want.tobytes()
+
+
+def test_jaro_adversarial_transpositions():
+    """Heavy-repeat and alternating strings stress the greedy window +
+    rank-match transposition count."""
+    pairs = [
+        ("ababababab", "bababababa"),
+        ("aaaaabbbbb", "bbbbbaaaaa"),
+        ("abcabcabc", "cbacbacba"),
+        ("aaaaaaaaaa", "aaaaabaaaa"),
+        ("abab", "bbaa"),
+        ("aabb", "bbaa"),
+    ]
+    ca, cb, la, lb = _tiles(pairs)
+    m, t = (np.asarray(x) for x in stats.jaro_match_stats(ca, cb, la, lb))
+    want = [oracle.jaro_stats(a, b) for a, b in pairs]
+    np.testing.assert_array_equal(m, np.array([w[0] for w in want]))
+    np.testing.assert_array_equal(t, np.array([w[1] for w in want]))
