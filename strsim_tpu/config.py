@@ -61,6 +61,12 @@ class StrsimConfig:
     compile_timeout_s: Optional[float] = 300.0
     fallback: str = "native"
 
+    # Device EXECUTION deadline (uploads/dispatches/fetches): a wedged
+    # interconnect can hang individual device calls indefinitely; past this
+    # deadline the affected bucket falls back to the exact host path. Generous
+    # by default — slow-but-progressing device phases must not trip it.
+    execute_timeout_s: Optional[float] = 600.0
+
     # Mesh axis name used by the batch-sharded data-parallel layer.
     batch_axis: str = "data"
 

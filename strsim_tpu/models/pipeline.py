@@ -442,22 +442,31 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):
     lens[: sel.size, 0] = lens_a
     lens[: sel.size, 1] = lens_b
 
-    outs = []
-    if chunks > 1:
-        dev_codes = jnp.asarray(packed.reshape(-1, chunks, block, 2 * width))
-        dev_lens = jnp.asarray(lens.reshape(-1, chunks, block, 2))
-        for g in range(n_pad // group):
-            outs.append(kernel(dev_codes[g], dev_lens[g]))  # [C, F, block]
-    else:
-        dev_codes = jnp.asarray(packed)
-        dev_lens = jnp.asarray(lens)
-        for start in range(0, n_pad, block):
-            outs.append(
-                kernel(
-                    lax.slice_in_dim(dev_codes, start, start + block, axis=0),
-                    lax.slice_in_dim(dev_lens, start, start + block, axis=0),
+    def upload_and_dispatch():
+        outs = []
+        if chunks > 1:
+            dev_codes = jnp.asarray(packed.reshape(-1, chunks, block, 2 * width))
+            dev_lens = jnp.asarray(lens.reshape(-1, chunks, block, 2))
+            for g in range(n_pad // group):
+                outs.append(kernel(dev_codes[g], dev_lens[g]))  # [C, F, block]
+        else:
+            dev_codes = jnp.asarray(packed)
+            dev_lens = jnp.asarray(lens)
+            for start in range(0, n_pad, block):
+                outs.append(
+                    kernel(
+                        lax.slice_in_dim(dev_codes, start, start + block, axis=0),
+                        lax.slice_in_dim(dev_lens, start, start + block, axis=0),
+                    )
                 )
-            )
+        return outs
+
+    from strsim_tpu.utils.compile_guard import run_with_timeout
+
+    ok, outs = run_with_timeout(upload_and_dispatch, cfg.execute_timeout_s)
+    if not ok:
+        # wedged device call — exact host fallback for this bucket
+        return {"fallback": True, "sel": sel, "a": a, "b": b}
     dispatch_dt = tm.lap()
     return {
         "fallback": False,
@@ -471,6 +480,8 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):
         "lens_b": lens_b,
         "outs": outs,
         "dispatch_dt": dispatch_dt,
+        "a_col": a,
+        "b_col": b,
     }
 
 
@@ -490,14 +501,27 @@ def _device_collect(out, measures, item, cfg, metrics=None):
     need = list(_stat_fields(measures))
 
     tm = timer()
-    # fetch each dispatch's output; chunked outputs are [C, F, block]
-    parts = []
-    for o in item["outs"]:
-        h = np.asarray(o)
-        if h.ndim == 3:  # [C, F, block] -> [F, C*block]
-            h = np.concatenate(list(h), axis=1)
-        parts.append(h)
-    host = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+
+    def fetch():
+        # fetch each dispatch's output; chunked outputs are [C, F, block]
+        parts = []
+        for o in item["outs"]:
+            h = np.asarray(o)
+            if h.ndim == 3:  # [C, F, block] -> [F, C*block]
+                h = np.concatenate(list(h), axis=1)
+            parts.append(h)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+
+    from strsim_tpu.utils.compile_guard import run_with_timeout
+
+    ok, host = run_with_timeout(fetch, cfg.execute_timeout_s)
+    if not ok:
+        # wedged download — exact host fallback for this bucket
+        _host_rows(out, measures, item["a_col"], item["b_col"], sel, cfg)
+        if metrics is not None:
+            metrics.oracle_rows += int(sel.size)
+            metrics.device_rows -= int(sel.size)
+        return
     stats_np = {f: host[fi, : sel.size].astype(np.int64) for fi, f in enumerate(need)}
     device_dt = item["dispatch_dt"] + tm.lap()
 

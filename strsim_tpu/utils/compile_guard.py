@@ -89,3 +89,30 @@ def prewarm(key: Tuple, jitfn: Callable, abstract_args: Tuple) -> None:
     with _lock:
         if key not in _futures:
             _futures[key] = _CompileFuture(jitfn, abstract_args)
+
+
+def run_with_timeout(fn: Callable, timeout_s: Optional[float]):
+    """Run fn() in a daemon thread with a deadline. Returns (True, result) or
+    (False, None) on timeout/error — the device call keeps running detached
+    (it cannot be cancelled mid-flight) while the caller falls back to the
+    host path. For guarding device EXECUTION (uploads, dispatches, fetches)
+    against wedged interconnects; compiles use compile_with_timeout above."""
+    if timeout_s is None:
+        return True, fn()
+    box: list = []
+
+    def runner():
+        try:
+            box.append(("ok", fn()))
+        except BaseException as e:  # noqa: BLE001
+            box.append(("err", e))
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        return False, None
+    tag, val = box[0]
+    if tag == "err":
+        raise val
+    return True, val

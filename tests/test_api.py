@@ -156,3 +156,12 @@ def test_kernel_cache_stable_across_calls():
     for _ in range(3):
         st.compute("jaro", ["abc"], ["abd"])
     assert len(pp._kernel_cache) == before
+
+
+def test_execute_timeout_falls_back_to_host():
+    """A zero execution deadline forces the exact host fallback path."""
+    cfg = st.get_config().replace(execute_timeout_s=1e-9)
+    got = st.compute("levenshtein", ["phillips", "kitten"], ["philips", "sitting"], config=cfg)
+    want = np.array([ORACLES["levenshtein"]("phillips", "philips"),
+                     ORACLES["levenshtein"]("kitten", "sitting")])
+    assert got.tobytes() == want.tobytes()
