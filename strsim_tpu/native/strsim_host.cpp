@@ -78,14 +78,14 @@ extern "C" {
 // 1 byte per row, 0 = null → zero-length row. Rows longer than width are an
 // error: returns the row index + 1; returns 0 on success.
 // Pads out_codes with `pad` beyond each row's length.
-int64_t strsim_decode_utf8_column(const uint8_t* data, const int64_t* offsets,
-                                  const uint8_t* validity, int64_t n,
-                                  int32_t width, int32_t pad,
-                                  int32_t* out_codes, int32_t* out_lengths) {
-  // one bulk fill (vectorized) instead of a short per-row fill
-  std::fill(out_codes, out_codes + n * (int64_t)width, pad);
+namespace {
+
+int64_t decode_rows(const uint8_t* data, const int64_t* offsets,
+                    const uint8_t* validity, int64_t lo, int64_t hi,
+                    int32_t width, int32_t pad, int32_t* out_codes,
+                    int32_t* out_lengths) {
   std::vector<int32_t> scratch;
-  for (int64_t r = 0; r < n; ++r) {
+  for (int64_t r = lo; r < hi; ++r) {
     int32_t* row = out_codes + r * width;
     if (validity && !validity[r]) {
       out_lengths[r] = 0;
@@ -116,6 +116,37 @@ int64_t strsim_decode_utf8_column(const uint8_t* data, const int64_t* offsets,
     std::copy(scratch.begin(), scratch.begin() + len, row);
     out_lengths[r] = static_cast<int32_t>(len);
   }
+  return 0;
+}
+
+}  // namespace
+
+int64_t strsim_decode_utf8_column(const uint8_t* data, const int64_t* offsets,
+                                  const uint8_t* validity, int64_t n,
+                                  int32_t width, int32_t pad,
+                                  int32_t* out_codes, int32_t* out_lengths) {
+  // one bulk fill (vectorized) instead of a short per-row fill
+  std::fill(out_codes, out_codes + n * (int64_t)width, pad);
+  int64_t nthreads =
+      std::min<int64_t>((int64_t)std::thread::hardware_concurrency(), 8);
+  if (n < 65536 || nthreads <= 1) {
+    return decode_rows(data, offsets, validity, 0, n, width, pad, out_codes,
+                       out_lengths);
+  }
+  std::vector<int64_t> rcs(nthreads, 0);
+  std::vector<std::thread> pool;
+  int64_t chunk = n / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = (t == nthreads - 1) ? n : lo + chunk;
+    pool.emplace_back([&, t, lo, hi] {
+      rcs[t] = decode_rows(data, offsets, validity, lo, hi, width, pad,
+                           out_codes, out_lengths);
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (int64_t rc : rcs)
+    if (rc != 0) return rc;
   return 0;
 }
 
