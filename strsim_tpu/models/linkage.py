@@ -88,6 +88,12 @@ def top_k_matches(
     q = enc._repad(q, enc.PAD_A, width)
     c = enc._repad(c, enc.PAD_B, width)
     Q, C = q.n, c.n
+    if Q == 0 or C == 0 or k <= 0:
+        kk = max(min(k, C), 0)
+        return (
+            np.full((Q, kk), -1, dtype=np.int64),
+            np.full((Q, kk), np.nan, dtype=np.float32),
+        )
     cb = min(candidate_block, max(C, 1))
     k_eff = min(k, C)
     qb = min(query_block, max(Q, 1))

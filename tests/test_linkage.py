@@ -47,3 +47,12 @@ def test_topk_k_larger_than_candidates():
     idx, scores = top_k_matches(["abc"], ["abc", "abd"], k=10)
     assert idx.shape == (1, 2)
     assert idx[0, 0] == 0
+
+
+def test_topk_degenerate_inputs():
+    idx, scores = top_k_matches([], ["a", "b"], k=3)
+    assert idx.shape == (0, 2)
+    idx, scores = top_k_matches(["a"], [], k=3)
+    assert idx.shape == (1, 0)
+    idx, scores = top_k_matches(["a"], ["a"], k=0)
+    assert idx.shape == (1, 0)
