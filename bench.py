@@ -2,7 +2,8 @@
 """tpu-strsim benchmark harness.
 
 Headline metric (BASELINE.md): levenshtein pairs/sec/chip on 1M name pairs
-(len ≤ 64), end-to-end (pre-encoded tiles → device → exact f64 scores), vs a
+(len ≤ 64), device-resident (see BENCH_DETAILS.json `_meta` for the metric
+definitions; the e2e-including-transfers figure is reported alongside), vs a
 single-core native C++ baseline implementing the reference's scalar algorithms
 (the local stand-in for single-core Rust — the reference publishes no numbers).
 
@@ -174,6 +175,9 @@ def measure_resident(a, b, measures, n_reps=8):
                     )
                 )
         n_rows += sel.size
+
+    if not staged:
+        return None
 
     def dispatch_all():
         last = None
