@@ -20,3 +20,19 @@ def test_device_scores_close_to_oracle(golden):
         want = np.array([ORACLES[m](x, y) for x, y in pairs])
         assert got.dtype == np.float32
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_device_scores_edge_rows():
+    """Empty/one-empty/equal rows through the self-contained device API."""
+    col_a = ["", "", "same", "x", "s"]
+    col_b = ["", "x", "same", "", "s"]
+    a = enc.encode_column(col_a, pad=enc.PAD_A, width=8)
+    b = enc.encode_column(col_b, pad=enc.PAD_B, width=8)
+    fn = jax.jit(lambda ca, cb, la, lb: scores_on_device(
+        ca, cb, la, lb, ("levenshtein", "jaro", "jaccard")))
+    out = fn(jnp.asarray(a.codes), jnp.asarray(b.codes),
+             jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+    for m in out:
+        got = np.asarray(out[m])
+        want = np.array([ORACLES[m](x, y) for x, y in zip(col_a, col_b)], dtype=np.float32)
+        np.testing.assert_allclose(got, want, atol=2e-6, err_msg=m)
