@@ -1,5 +1,10 @@
 """Pallas TPU kernel: Jaro greedy windowed matching.
 
+STATUS: experimental. Compiles and matches the XLA kernel exactly on TPU,
+but at the current 512-lane grid granularity it measured well below the XLA
+formulation (which is the production default, config.jaro_impl="xla").
+Revisit with larger blocks once the environment's Mosaic compiler updates.
+
 The greedy flag-setting scan (reference src/expressions/strsim.rs:208-219) is
 the loop-carried part of Jaro: the b-side flag vector must update before the
 next a-char is processed. This kernel runs that scan with all state resident

@@ -1,5 +1,11 @@
 """Pallas TPU kernel: anti-diagonal wavefront Levenshtein distance.
 
+STATUS: experimental — interpret-mode verified (exact); this environment's
+terminal-side Mosaic compiler faults on the kernel (SIGABRT), so it cannot
+run compiled here. The XLA wavefront (config.levenshtein_impl="xla") is the
+production path; this formulation is the VMEM-resident design to promote when
+the compiler allows (modeled >=3x from removing loop-carry HBM traffic).
+
 Same recurrence as the XLA version (ops/stats.py levenshtein_distance) but with
 the working set pinned in VMEM and a batch-in-lanes layout:
 
