@@ -35,10 +35,15 @@ class StrsimConfig:
     min_batch: int = 8
     max_batch_block: int = 262144
 
-    # Kernel implementation per measure family: "xla" (pure jnp, fused by XLA)
-    # or "pallas" (hand-written Mosaic kernels with explicit VMEM residency).
-    levenshtein_impl: str = "xla"
-    jaro_impl: str = "xla"
+    # Kernel implementation per measure family.
+    #   levenshtein: "myers" (bit-parallel column DP, production default; "xla"
+    #     is an alias), "wavefront" (round-1 anti-diagonal DP), "pallas".
+    #   jaro: "bitmask" (packed-flag greedy scan + loop-free transposition,
+    #     production default; "xla" is an alias), "scan" (round-1 [L,B]-flag
+    #     scan), "pallas".
+    #   multiset: "xla" (streaming L-step scan) or "table" ([L,L,B] compare).
+    levenshtein_impl: str = "myers"
+    jaro_impl: str = "bitmask"
     multiset_impl: str = "xla"
 
     # Pallas grid block size (rows per grid step). Must be a multiple of 8.

@@ -1,0 +1,144 @@
+"""Bit-parallel Levenshtein (Myers/Hyyrö) — the round-2 production kernel.
+
+Same contract as ops.stats.levenshtein_distance (unit-cost edit distance per
+row pair, reference semantics src/expressions/strsim.rs:146-160) but a
+structurally different formulation: instead of the anti-diagonal wavefront
+(2L-1 sequential steps with [L+1, B] loop-carried DP state), the DP column is
+encoded as *bit vectors* — Pv/Mv hold the +1/-1 deltas between adjacent DP
+cells — and one step of Myers' algorithm advances a whole column with ~18
+word operations [Myers 1999, JACM 46(3); Hyyrö 2003 bit-vector formulation].
+
+Why this is the right shape for TPU/XLA:
+  * sequential steps drop from 2L-1 to len_b (~half), and the loop-carried
+    state drops from O(L·B) int32 to O(ceil(L/32)·B) uint32 — the wavefront's
+    HBM carry traffic (the measured round-1 bottleneck, docs/ROOFLINE.md) is
+    cut by ~32x;
+  * per-step work is O(W·B) lane ops (W = words per row), so padded bucket
+    width stops mattering inside the scan — only the fully-parallel Eq
+    precompute (one fused compare/weight/reduce pass, no loop carry) is
+    O(L²·B), and it is plain VPU compare+select+add that XLA fuses.
+
+Batch-in-lanes layout as everywhere else: state is [W, B] with the batch on
+the 128-lane minor axis.
+
+Exactness: Myers' algorithm computes the same integer unit-cost distance as
+the classic DP (no floats anywhere); the host finalizer is unchanged, so
+bit-for-float parity is preserved by construction. Valid for rows with
+len_a >= 1 and len_b >= 1 — empty-side rows are resolved in the finalizer
+(ops/finalize.py), identical to the wavefront kernel's contract.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from strsim_tpu.utils.encode import PAD_A
+
+Array = jax.Array
+
+_WORD = 32
+_ALL_ONES = np.uint32(0xFFFFFFFF)
+
+
+def levenshtein_distance_myers(
+    a: Array, b: Array, len_a: Array, len_b: Array
+) -> Array:
+    """Unit-cost edit distance per row pair via bit-parallel column DP.
+
+    a, b: [B, L] padded codepoint tiles (PAD_A / PAD_B past each length).
+    len_a, len_b: [B] int32. Returns [B] int32 distances (valid where both
+    lengths >= 1; other rows return len_a, ignored by the finalizer).
+    """
+    B, L = a.shape
+    W = -(-L // _WORD)  # words per row (pattern = a)
+    Lp = W * _WORD
+    u32 = jnp.uint32
+    i32 = jnp.int32
+
+    aT = a.T  # [L, B] batch-in-lanes
+    bT = b.T
+    if Lp > L:
+        aT = jnp.concatenate(
+            [aT, jnp.full((Lp - L, B), PAD_A, dtype=aT.dtype)], axis=0
+        )
+
+    # Eq precompute: Eq[j, w] = bitmask over pattern positions i in word w of
+    # (a_i == b_j). PAD_A never equals any b char (real or PAD_B), so bits at
+    # i >= len_a are 0 with no masking. One fused compare+select+reduce; no
+    # loop carry.
+    bits = np.uint32(1) << jnp.arange(_WORD, dtype=u32)  # [32]
+    eq4 = aT.reshape(W, _WORD, B)[None, :, :, :] == bT[:, None, None, :]
+    Eq = jnp.sum(
+        jnp.where(eq4, bits[None, None, :, None], np.uint32(0)),
+        axis=2,
+        dtype=u32,
+    )  # [L_j, W, B]
+
+    m1 = jnp.maximum(len_a - 1, 0)
+    hword = m1 // _WORD  # [B] word index holding bit m-1
+    hbit = (m1 % _WORD).astype(u32)  # [B] bit position within that word
+
+    pv0 = jnp.full((W, B), _ALL_ONES, dtype=u32)
+    mv0 = jnp.zeros((W, B), dtype=u32)
+    score0 = len_a.astype(i32)
+
+    def body(j, state):
+        pv, mv, score = state
+        eq = lax.dynamic_slice_in_dim(Eq, j, 1, axis=0)[0]  # [W, B]
+        active = j < len_b  # [B]
+
+        carry = jnp.zeros((B,), u32)  # addition carry, word w -> w+1
+        ph_in = jnp.ones((B,), u32)  # Ph shift-in (the "| 1" of Ph <<= 1)
+        mh_in = jnp.zeros((B,), u32)
+        ph_bit = jnp.zeros((B,), u32)
+        mh_bit = jnp.zeros((B,), u32)
+        new_pv = []
+        new_mv = []
+        for w in range(W):  # static unroll; carries flow low word -> high
+            eq_w, pv_w, mv_w = eq[w], pv[w], mv[w]
+            x = eq_w & pv_w
+            s1 = x + pv_w
+            c1 = (s1 < x).astype(u32)
+            s2 = s1 + carry
+            c2 = (s2 < s1).astype(u32)
+            carry = c1 | c2
+            xh = (s2 ^ pv_w) | eq_w
+            xv = eq_w | mv_w
+            ph = mv_w | ~(xh | pv_w)
+            mh = pv_w & xh
+            # score delta reads bit m-1 of the UNSHIFTED Ph/Mh
+            if W == 1:
+                sel = None
+                ph_bit = (ph >> hbit) & 1
+                mh_bit = (mh >> hbit) & 1
+            else:
+                sel = hword == w
+                ph_bit = jnp.where(sel, (ph >> hbit) & 1, ph_bit)
+                mh_bit = jnp.where(sel, (mh >> hbit) & 1, mh_bit)
+            ph_out = ph >> (_WORD - 1)
+            mh_out = mh >> (_WORD - 1)
+            ph_s = (ph << 1) | ph_in
+            mh_s = (mh << 1) | mh_in
+            ph_in, mh_in = ph_out, mh_out
+            new_pv.append(mh_s | ~(xv | ph_s))
+            new_mv.append(ph_s & xv)
+
+        delta = ph_bit.astype(i32) - mh_bit.astype(i32)
+        score = score + jnp.where(active, delta, 0)
+        pv_n = jnp.stack(new_pv)
+        mv_n = jnp.stack(new_mv)
+        act = active[None, :]
+        return (
+            jnp.where(act, pv_n, pv),
+            jnp.where(act, mv_n, mv),
+            score,
+        )
+
+    # dynamic trip count: with length-sorted blocks each block pays only its
+    # true max text length, not the padded bucket width
+    n_max = jnp.clip(jnp.max(len_b), 0, L)
+    _, _, score = lax.fori_loop(0, n_max, body, (pv0, mv0, score0))
+    return score.astype(i32)

@@ -275,10 +275,20 @@ STAT_FIELDS = {
     "jaro_winkler": ("jaro_m", "jaro_t", "prefix"),
     "jaccard": ("inter",),
     "sorensen_dice": ("inter",),
-    # extensions (not in the reference): bigram-multiset variants
-    "jaccard_bigram": ("inter2",),
-    "sorensen_dice_bigram": ("inter2",),
+    # extensions (not in the reference): bigram-multiset variants. They carry
+    # a row-equality stat so the documented "equal -> 1.0" semantics hold for
+    # length-1 equal pairs (which have no bigrams) regardless of whether the
+    # pipeline's equal_fast_path is enabled.
+    "jaccard_bigram": ("inter2", "eq"),
+    "sorensen_dice_bigram": ("inter2", "eq"),
 }
+
+
+def row_equal(a: Array, b: Array, len_a: Array, len_b: Array) -> Array:
+    """1 where the rows are identical strings (pads differ per side, so
+    positions past either length never compare equal)."""
+    eq_cnt = jnp.sum((a == b).astype(jnp.int32), axis=1)
+    return ((len_a == len_b) & (eq_cnt == len_a)).astype(jnp.int32)
 
 
 def compute_stats(
@@ -303,19 +313,29 @@ def compute_stats(
         need.update(STAT_FIELDS[msr])
     out: Dict[str, Array] = {}
     if "lev_d" in need:
-        if impl.get("levenshtein") == "pallas":
+        lev_impl = impl.get("levenshtein", "myers")
+        if lev_impl == "pallas":
             from strsim_tpu.ops.levenshtein_pallas import levenshtein_distance_pallas
 
             out["lev_d"] = levenshtein_distance_pallas(a, b, len_a, len_b)
-        else:
+        elif lev_impl == "wavefront":
             out["lev_d"] = levenshtein_distance(a, b, len_a, len_b)
+        else:  # "myers" (default) — bit-parallel column DP
+            from strsim_tpu.ops.levenshtein_myers import levenshtein_distance_myers
+
+            out["lev_d"] = levenshtein_distance_myers(a, b, len_a, len_b)
     if "jaro_m" in need:
-        if impl.get("jaro") == "pallas":
+        jaro_impl = impl.get("jaro", "bitmask")
+        if jaro_impl == "pallas":
             from strsim_tpu.ops.jaro_pallas import jaro_match_stats_pallas
 
             out["jaro_m"], out["jaro_t"] = jaro_match_stats_pallas(a, b, len_a, len_b)
-        else:
+        elif jaro_impl == "scan":
             out["jaro_m"], out["jaro_t"] = jaro_match_stats(a, b, len_a, len_b)
+        else:  # "bitmask" (default) — packed-flag greedy scan
+            from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+
+            out["jaro_m"], out["jaro_t"] = jaro_match_stats_bitmask(a, b, len_a, len_b)
     if "prefix" in need:
         out["prefix"] = shared_prefix_length(a, b)
     if "inter" in need:
@@ -329,6 +349,8 @@ def compute_stats(
         from strsim_tpu.ops.multiset_loop import bigram_intersection_loop
 
         out["inter2"] = bigram_intersection_loop(a, b, len_a, len_b)
+    if "eq" in need:
+        out["eq"] = row_equal(a, b, len_a, len_b)
     return out
 
 

@@ -56,3 +56,23 @@ def test_all_implementations_agree(corpus, measure):
     if native_available():
         got_nat = native_compute_strings(measure, col_a, col_b)
         assert got_nat.tobytes() == want.tobytes(), "native"
+
+
+@pytest.mark.parametrize(
+    "lev,jaro,multiset",
+    [
+        ("myers", "bitmask", "xla"),  # round-2 production defaults
+        ("wavefront", "scan", "table"),  # round-1 kernels stay locked
+    ],
+)
+@pytest.mark.parametrize("measure", CORE_MEASURES)
+def test_impl_matrix_agrees(corpus, measure, lev, jaro, multiset):
+    col_a = [a for a, _ in corpus]
+    col_b = [b for _, b in corpus]
+    want = np.array([ORACLES[measure](a, b) for a, b in corpus])
+    cfg = st.get_config().replace(
+        levenshtein_impl=lev, jaro_impl=jaro, multiset_impl=multiset,
+        equal_fast_path=False,
+    )
+    got = st.compute(measure, col_a, col_b, config=cfg)
+    assert got.tobytes() == want.tobytes(), f"{lev}/{jaro}/{multiset}"
