@@ -220,20 +220,26 @@ def compute_scores(
         uniq_bucket = np.array([cfg.bucket_for(int(v)) for v in uniq], dtype=np.int64)
         bucket_of = uniq_bucket[np.searchsorted(uniq, maxlen)]
 
-        # start all bucket-shape compiles concurrently before touching any
+        # start all bucket-shape compiles concurrently before touching any.
+        # dtype is decided PER BUCKET (matching _device_dispatch's per-bucket
+        # int8 choice): in a mixed ASCII/non-ASCII column, pure-ASCII buckets
+        # must prewarm their int8 shapes, not the column-wide int32 one.
         buckets_present = [int(w) for w in np.unique(bucket_of) if w > 0]
-        ascii_dtype = (
-            np.int8
-            if cfg.narrow_tiles
-            and a.codes.max(initial=0) < 128
-            and b.codes.max(initial=0) < 128
-            else np.int32
-        )
         shapes = []
+        bucket_dtypes: Dict[int, object] = {}
         for w in buckets_present:
-            n_w = int((bucket_of == w).sum())
+            in_bucket = idx[bucket_of == w]
+            n_w = in_bucket.size
+            dtype = np.int32
+            if cfg.narrow_tiles and n_w:
+                if (
+                    a.codes[in_bucket, :w].max(initial=0) < 128
+                    and b.codes[in_bucket, :w].max(initial=0) < 128
+                ):
+                    dtype = np.int8
+            bucket_dtypes[w] = dtype
             blk = min(_block_rows(w, cfg, measures), _round_batch(n_w, cfg))
-            shapes.append((w, blk, ascii_dtype, _chunks_for(n_w, blk)))
+            shapes.append((w, blk, dtype, _chunks_for(n_w, blk)))
         prewarm_shapes(measures, shapes, cfg)
 
         # two passes: dispatch every bucket's uploads+kernels first (device
@@ -250,7 +256,10 @@ def compute_scores(
                     metrics.device_rows -= int(sel.size)
                 continue
             pending.append(
-                _device_dispatch(measures, a, b, la, lb, sel, int(bucket_w), cfg, metrics)
+                _device_dispatch(
+                    measures, a, b, la, lb, sel, int(bucket_w), cfg, metrics,
+                    dtype=bucket_dtypes.get(int(bucket_w)),
+                )
             )
         for item in pending:
             _device_collect(out, measures, item, cfg, metrics)
@@ -389,9 +398,10 @@ def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
         prewarm(key, kernel, _abstract_args(block, width, dtype, chunks))
 
 
-def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):
+def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtype=None):
     """Stage one bucket: pack, upload, dispatch kernels. Returns a pending
-    record for _device_collect (or a host-fallback marker)."""
+    record for _device_collect (or a host-fallback marker). `dtype` is the
+    bucket's tile dtype decided at prewarm time (None → decide here)."""
     from strsim_tpu.utils.metrics import timer
 
     # order rows by combined length so blocks are length-homogeneous: the
@@ -404,12 +414,14 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None):
     lens_a = la[sel]
     lens_b = lb[sel]
 
-    dtype = np.int32
-    if cfg.narrow_tiles and sel.size:
-        if codes_a.max(initial=0) < 128 and codes_b.max(initial=0) < 128:
-            dtype = np.int8  # pure-ASCII bucket: 4x less transfer
-            codes_a = codes_a.astype(np.int8)
-            codes_b = codes_b.astype(np.int8)
+    if dtype is None:
+        dtype = np.int32
+        if cfg.narrow_tiles and sel.size:
+            if codes_a.max(initial=0) < 128 and codes_b.max(initial=0) < 128:
+                dtype = np.int8  # pure-ASCII bucket: 4x less transfer
+    if dtype == np.int8:
+        codes_a = codes_a.astype(np.int8)
+        codes_b = codes_b.astype(np.int8)
 
     block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
     chunks = _chunks_for(sel.size, block)

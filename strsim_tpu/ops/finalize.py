@@ -81,15 +81,25 @@ def finalize_sorensen_dice(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.
     return np.where(both_empty, 1.0, sim)
 
 
+def _patch_bigram_equal(sim: np.ndarray, stats: Dict[str, np.ndarray]) -> np.ndarray:
+    """Documented extension semantics: equal strings score 1.0. Length-1 equal
+    pairs have no bigrams (na = nb = 0 would score 0.0), so the kernels emit a
+    row-equality stat and we patch here — independent of cfg.equal_fast_path."""
+    eq = stats.get("eq")
+    if eq is not None:
+        sim = np.where(eq.astype(bool), 1.0, sim)
+    return sim
+
+
 def finalize_jaccard_bigram(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
-    """EXTENSION: bigram-multiset Jaccard. A side without bigrams scores 0.0
-    (equal pairs are resolved by the pipeline's fast path / kernel equality)."""
+    """EXTENSION: bigram-multiset Jaccard."""
     na = np.maximum(la.astype(np.int64) - 1, 0)
     nb = np.maximum(lb.astype(np.int64) - 1, 0)
     inter = stats["inter2"].astype(np.int64)
     den = na + nb - inter
     sim = _as_f64(inter) / _as_f64(np.maximum(den, 1))
-    return np.where((na == 0) | (nb == 0), 0.0, sim)
+    sim = np.where((na == 0) | (nb == 0), 0.0, sim)
+    return _patch_bigram_equal(sim, stats)
 
 
 def finalize_sorensen_dice_bigram(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
@@ -98,7 +108,8 @@ def finalize_sorensen_dice_bigram(stats: Dict[str, np.ndarray], la: np.ndarray, 
     nb = np.maximum(lb.astype(np.int64) - 1, 0)
     inter = stats["inter2"].astype(np.int64)
     sim = (2.0 * _as_f64(inter)) / _as_f64(np.maximum(na + nb, 1))
-    return np.where((na == 0) | (nb == 0), 0.0, sim)
+    sim = np.where((na == 0) | (nb == 0), 0.0, sim)
+    return _patch_bigram_equal(sim, stats)
 
 
 FINALIZERS = {

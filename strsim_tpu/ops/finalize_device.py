@@ -68,12 +68,32 @@ def sorensen_dice_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array
     return jnp.where(both, 1.0, sim)
 
 
+def jaccard_bigram_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    na = jnp.maximum(la - 1, 0)
+    nb = jnp.maximum(lb - 1, 0)
+    inter = stats["inter2"]
+    sim = inter.astype(jnp.float32) / jnp.maximum(na + nb - inter, 1).astype(jnp.float32)
+    return jnp.where((na == 0) | (nb == 0), 0.0, sim)
+
+
+def sorensen_dice_bigram_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    na = jnp.maximum(la - 1, 0)
+    nb = jnp.maximum(lb - 1, 0)
+    inter = stats["inter2"]
+    sim = 2.0 * inter.astype(jnp.float32) / jnp.maximum(na + nb, 1).astype(jnp.float32)
+    return jnp.where((na == 0) | (nb == 0), 0.0, sim)
+
+
 DEVICE_FINALIZERS = {
     "levenshtein": levenshtein_device,
     "jaro": jaro_device,
     "jaro_winkler": jaro_winkler_device,
     "jaccard": jaccard_device,
     "sorensen_dice": sorensen_dice_device,
+    # extension measures: the equal-string patch in scores_on_device supplies
+    # the "equal -> 1.0" semantics (incl. bigram-less length-1 equal pairs)
+    "jaccard_bigram": jaccard_bigram_device,
+    "sorensen_dice_bigram": sorensen_dice_bigram_device,
 }
 
 

@@ -8,9 +8,9 @@ tile that can be shipped to HBM in one transfer.
 Fast path: numpy's fixed-width unicode dtype ('<U{L}') stores UCS4 codepoints.
 `np.asarray(list_of_str, dtype='U{L}')` is a single C-speed pass that yields a
 [N, L] uint32 codepoint matrix — an exact per-Unicode-scalar decode with no
-Python-level loop. Lengths come from the validity of codepoint 0 handling:
-we compute true lengths with np.char.str_len (C speed) so NUL characters inside
-strings are still handled exactly.
+Python-level loop. Lengths come from the original Python strings (len(s)), so
+embedded and trailing NUL characters are handled exactly (np str_len would
+treat a trailing U+0000 as padding).
 
 Arrow ingestion (offsets + UTF-8 data + validity bitmap) is handled by the
 native C++ extension (strsim_tpu/native) with a numpy fallback here.
@@ -28,12 +28,6 @@ import numpy as np
 
 PAD_A = -1
 PAD_B = -2
-
-if hasattr(np, "strings"):  # numpy >= 2.0
-    _str_len = np.strings.str_len
-else:  # pragma: no cover
-    _str_len = np.char.str_len
-
 
 @dataclasses.dataclass
 class EncodedColumn:
@@ -117,7 +111,10 @@ def encode_column(col, pad: int = PAD_A, width: Optional[int] = None) -> Encoded
         )
 
     u = np.asarray(arr, dtype=str)  # one C pass: object strs → UCS4 '<Umax'
-    lengths = _str_len(u).astype(np.int32)
+    # lengths come from the original Python strings, NOT np str_len on the
+    # U-dtype array: str_len treats a string's trailing U+0000 as padding
+    # ('a\0' would report length 1 and lose its NUL; the reference counts it)
+    lengths = np.fromiter(map(len, arr.tolist()), dtype=np.int32, count=n)
     max_len = int(lengths.max()) if n else 0
     w = width if width is not None else max(max_len, 1)
     if max_len > w:

@@ -37,6 +37,22 @@ def test_nul_char_inside_string():
     assert list(e.codes[0])[:3] == [97, 0, 98]
 
 
+def test_nul_char_trailing(monkeypatch):
+    """Trailing U+0000 counts toward length on BOTH encode paths (numpy
+    str_len would treat it as padding — ADVICE round 1): levenshtein('a\\0',
+    'a') must be 0.5, not 1.0."""
+    import strsim_tpu as st
+
+    for force_numpy in (False, True):
+        if force_numpy:
+            monkeypatch.setattr(enc, "_encode_fast", lambda *a, **k: None)
+        e = enc.encode_column(["a\x00", "\x00"])
+        assert list(e.lengths) == [2, 1]
+        assert list(e.codes[0])[:2] == [97, 0]
+        got = st.compute("levenshtein", ["a\x00"], ["a"])
+        assert got[0] == 0.5
+
+
 def test_equal_rows():
     a, b = enc.encode_pair(["same", "diff1", "", "ab"], ["same", "diff2", "", "abc"])
     assert list(enc.equal_rows(a, b)) == [True, False, True, False]
