@@ -46,6 +46,7 @@ from strsim_tpu.api import (
     lit,
     Literal,
 )
+from strsim_tpu import minipl
 from strsim_tpu.config import StrsimConfig, get_config, set_config
 from strsim_tpu.models.engine import StrsimEngine
 from strsim_tpu.models.measures import MEASURES
@@ -65,6 +66,7 @@ __all__ = [
     "compute_with_validity",
     "lit",
     "Literal",
+    "minipl",
     "StrsimConfig",
     "StrsimEngine",
     "get_config",

@@ -24,6 +24,8 @@ from strsim_tpu.config import StrsimConfig
 from strsim_tpu.models.measures import MEASURE_NAMES, resolve_measures
 from strsim_tpu.models.pipeline import compute_scores
 
+from strsim_tpu import minipl
+
 try:  # optional dependency; the engine is fully functional without it
     import polars as pl
 except Exception:  # pragma: no cover
@@ -42,6 +44,11 @@ def lit(value: Optional[str]) -> Literal:
 
 
 def _is_expr_input(x) -> bool:
+    # minipl expressions always route to the expression layer; bare strings
+    # only count as column references when real polars provides the column
+    # namespace (otherwise array mode treats them as broadcast literals).
+    if isinstance(x, minipl.Expr):
+        return True
     if pl is None:
         return False
     return isinstance(x, (pl.Expr,)) or isinstance(x, str)
@@ -85,7 +92,7 @@ def compute_many(
 
 def _measure_fn(measure: str):
     def fn(expr, other, *, config: Optional[StrsimConfig] = None):
-        if pl is not None and (_is_expr_input(expr) or _is_expr_input(other)):
+        if _is_expr_input(expr) or _is_expr_input(other):
             from strsim_tpu.utils.polars_compat import build_expr
 
             return build_expr(measure, expr, other, config=config)

@@ -20,15 +20,29 @@ def test_engine_custom_config():
     assert out["jaro"][0] == 1.0 and out["jaccard"][0] == 1.0
 
 
-def test_polars_expression_layer():
-    pl = pytest.importorskip("polars")
+def _backends():
+    """Expression backends to test: minipl always; real polars when present."""
+    from strsim_tpu import minipl
+
+    out = [("minipl", minipl)]
+    try:
+        import polars
+
+        out.append(("polars", polars))
+    except ImportError:
+        pass
+    return out
+
+
+@pytest.mark.parametrize("name,pl", _backends())
+def test_polars_expression_layer(name, pl):
     from strsim_tpu import levenshtein, jaro_winkler
 
     df = pl.DataFrame(
         {"a": ["phillips", "phillips", None], "b": ["phillips", "philips", "x"]}
     ).with_columns(
-        lev=levenshtein("a", "b"),
-        jw=jaro_winkler("a", pl.col("b")),
+        lev=levenshtein(pl.col("a"), pl.col("b")),
+        jw=jaro_winkler(pl.col("a"), "b"),  # bare str -> pl.col (utils.py:36)
     )
     assert df["lev"].to_list()[0] == 1.0
     assert abs(df["lev"].to_list()[1] - 0.875) < 1e-12
@@ -36,14 +50,86 @@ def test_polars_expression_layer():
     assert abs(df["jw"].to_list()[1] - 0.975) < 1e-12
 
 
-def test_polars_literal_broadcast():
-    pl = pytest.importorskip("polars")
+@pytest.mark.parametrize("name,pl", _backends())
+def test_polars_literal_broadcast(name, pl):
     from strsim_tpu import levenshtein
 
     df = pl.DataFrame({"a": ["smith", "smyth"]}).with_columns(
-        lev=levenshtein("a", pl.lit("smith"))
+        lev=levenshtein(pl.col("a"), pl.lit("smith"))
     )
     assert df["lev"].to_list() == [1.0, 0.8]
+
+
+@pytest.mark.parametrize("name,pl", _backends())
+def test_polars_readme_demo_table(name, pl):
+    """The reference demo (demo.py:4-18) through df.with_columns: the full
+    README.md:59-72 table, bit-for-float, including empty and null rows."""
+    from strsim_tpu import jaccard, jaro, jaro_winkler, levenshtein, sorensen_dice
+
+    df = pl.DataFrame(
+        {
+            "name_a": ["phillips", "phillips", "", "", None, None],
+            "name_b": ["phillips", "philips", "phillips", "", "phillips", None],
+        }
+    ).with_columns(
+        levenshtein=levenshtein(pl.col("name_a"), pl.col("name_b")),
+        jaro=jaro(pl.col("name_a"), pl.col("name_b")),
+        jaro_winkler=jaro_winkler(pl.col("name_a"), pl.col("name_b")),
+        jaccard=jaccard(pl.col("name_a"), pl.col("name_b")),
+        sorensen_dice=sorensen_dice(pl.col("name_a"), pl.col("name_b")),
+    )
+    want = {
+        "levenshtein": [1.0, 0.875, 0.0, 1.0, None, None],
+        "jaro": [1.0, 0.9583333333333334, 0.0, 1.0, None, None],
+        "jaro_winkler": [1.0, 0.975, 0.0, 1.0, None, None],
+        "jaccard": [1.0, 0.875, 0.0, 1.0, None, None],
+        "sorensen_dice": [1.0, 0.9333333333333333, 0.0, 1.0, None, None],
+    }
+    for m, exp in want.items():
+        got = df[m].to_list()
+        assert got == exp, (m, got)
+
+
+def test_minipl_streaming_chunks():
+    """is_elementwise=True must hold under chunked (streaming-engine-style)
+    evaluation: results identical when the engine splits batches."""
+    from strsim_tpu import levenshtein, minipl as pl
+
+    data = {"a": ["abc", "abd", None, "", "xyz", "abc"], "b": ["abc"] * 6}
+    whole = pl.DataFrame(data).with_columns(lev=levenshtein(pl.col("a"), pl.col("b")))
+    try:
+        pl.set_streaming_chunk_size(2)
+        chunked = pl.DataFrame(data).with_columns(
+            lev=levenshtein(pl.col("a"), pl.col("b"))
+        )
+    finally:
+        pl.set_streaming_chunk_size(None)
+    assert whole["lev"].to_list() == chunked["lev"].to_list()
+
+
+def test_minipl_null_literal_divergence():
+    """Reference PANICS on a null literal (strsim.rs:62,65). Through the
+    expression layer a null literal broadcasts to null rows (null in -> null
+    out) — the documented divergence; array mode raises instead."""
+    from strsim_tpu import levenshtein, minipl as pl
+
+    df = pl.DataFrame({"a": ["x", "y"]}).with_columns(
+        lev=levenshtein(pl.col("a"), pl.lit(None, dtype=pl.Utf8))
+    )
+    assert df["lev"].to_list() == [None, None]
+    with pytest.raises(ValueError, match="null literal"):
+        st.compute("levenshtein", ["x", "y"], st.lit(None))
+
+
+def test_minipl_errors():
+    from strsim_tpu import levenshtein, minipl as pl
+
+    with pytest.raises(pl.ColumnNotFoundError):
+        pl.DataFrame({"a": ["x"]}).with_columns(
+            lev=levenshtein(pl.col("a"), pl.col("missing"))
+        )
+    with pytest.raises(pl.ShapeError):
+        pl.DataFrame({"a": ["x", "y"], "b": ["z"]})
 
 
 def test_engine_metrics_accumulate():
