@@ -101,19 +101,22 @@ def _encoded_pair(n):
     return a, b
 
 
-def measure_resident(a, b, measures, n_reps=8):
-    """Device-resident throughput: inputs pre-staged on device (as in a
-    serving pipeline or any multi-op jax program), timed region = kernel
-    dispatches + a scalar checksum sync. This is the pairs/sec/chip number —
-    host<->device transfers are benchmarked separately in the e2e figure
-    (and are relay-tunnel-bound in this environment, not chip-bound)."""
-    import jax
+def measure_resident(a, b, measures):
+    """Device-resident kernel throughput (pairs/sec/chip), measured so that
+    the relay tunnel cannot distort it: per bucket, the real workload's
+    blocks are staged on device as [C, block, 2W] chunks and the MARGINAL
+    on-device time per block is measured inside a single executable
+    (utils/devicetime.py — repetition loop with a data-dependent carry,
+    differenced across repetition counts so dispatch/fetch/relay fixed costs
+    cancel). Total device time = sum over buckets of t_block * n_blocks.
+    Host<->device transfer is benchmarked separately in the e2e figure (and
+    is relay-tunnel-bound in this environment, not chip-bound)."""
     import jax.numpy as jnp
-    from jax import lax
 
     from strsim_tpu.config import get_config
     from strsim_tpu.models import pipeline as pp
     from strsim_tpu.utils import encode as enc
+    from strsim_tpu.utils.devicetime import marginal_block_time
 
     cfg = get_config()
     validity = a.validity & b.validity
@@ -131,8 +134,9 @@ def measure_resident(a, b, measures, n_reps=8):
         ("jaro", cfg.jaro_impl),
         ("multiset", cfg.multiset_impl),
     )
-    staged = []
     n_rows = 0
+    device_s = 0.0
+    bucket_times = {}
     for w in np.unique(bucket_of):
         if w < 0:
             continue
@@ -142,10 +146,8 @@ def measure_resident(a, b, measures, n_reps=8):
         block = min(
             pp._block_rows(width, cfg, measures), pp._round_batch(sel.size, cfg)
         )
-        chunks = pp._chunks_for(sel.size, block)
         dtype = np.int8 if cfg.narrow_tiles else np.int32
-        group = chunks * block
-        n_pad = ((sel.size + group - 1) // group) * group
+        n_pad = ((sel.size + block - 1) // block) * block
         w_have = min(width, a.codes.shape[1])
         packed = np.empty((n_pad, 2 * width), dtype=dtype)
         packed[:, :width] = enc.PAD_A
@@ -155,47 +157,18 @@ def measure_resident(a, b, measures, n_reps=8):
         lens = np.zeros((n_pad, 2), dtype=np.int32)
         lens[: sel.size, 0] = la[sel]
         lens[: sel.size, 1] = lb[sel]
-        kernel = pp._compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
-        if kernel is None:
-            return None  # compiles didn't land; resident number unavailable
-        if chunks > 1:
-            dev_codes = jnp.asarray(packed.reshape(-1, chunks, block, 2 * width))
-            dev_lens = jnp.asarray(lens.reshape(-1, chunks, block, 2))
-            for g in range(n_pad // group):
-                staged.append((kernel, dev_codes[g], dev_lens[g]))
-        else:
-            dev_codes = jnp.asarray(packed)
-            dev_lens = jnp.asarray(lens)
-            for start in range(0, n_pad, block):
-                staged.append(
-                    (
-                        kernel,
-                        lax.slice_in_dim(dev_codes, start, start + block, axis=0),
-                        lax.slice_in_dim(dev_lens, start, start + block, axis=0),
-                    )
-                )
+        C = n_pad // block
+        base = pp._get_kernel(measures, impls)
+        dev_codes = jnp.asarray(packed.reshape(C, block, 2 * width))
+        dev_lens = jnp.asarray(lens.reshape(C, block, 2))
+        t_block = marginal_block_time(base, dev_codes, dev_lens)
+        bucket_times[width] = {"blocks": C, "block_ms": round(t_block * 1e3, 4)}
+        device_s += t_block * C
         n_rows += sel.size
 
-    if not staged:
+    if not n_rows:
         return None
-
-    def dispatch_all():
-        last = None
-        for kernel, c, l in staged:
-            last = kernel(c, l)
-        return last
-
-    np.asarray(dispatch_all())  # warm dispatch path + ensure execution works
-    reps = max(n_reps, 1)
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(reps):
-        last = dispatch_all()
-    # the TPU executes launches in order: materializing any element of the
-    # final launch implies every prior launch has completed
-    np.asarray(last[:, :1])
-    dt = time.perf_counter() - t0
-    return reps * n_rows / dt
+    return n_rows / device_s, bucket_times, device_s
 
 
 def worker(measures_csv: str, out_path: str) -> None:
@@ -277,19 +250,17 @@ def worker(measures_csv: str, out_path: str) -> None:
     except Exception:
         pass
 
-    resident = measure_resident(a, b, measures)
-    if resident is None:
-        # compiles missed the pipeline deadline; wait them out (they continue
-        # in background threads and land in the persistent cache) then retry
-        _log(f"worker[{measures_csv}]: resident waiting for compiles...")
-        from strsim_tpu.config import get_config, set_config
-
-        patient = get_config().replace(compile_timeout_s=420.0)
-        set_config(patient)
-        resident = measure_resident(a, b, measures)
-    if resident is not None:
+    res_tuple = measure_resident(a, b, measures)
+    resident = None
+    if res_tuple is not None:
+        resident, bucket_times, device_s = res_tuple
         result["resident_pairs_per_sec"] = resident
-        _log(f"worker[{measures_csv}]: resident {resident:,.0f} pairs/s")
+        result["resident_bucket_block_ms"] = bucket_times
+        result["resident_device_s_per_1M"] = round(device_s, 4)
+        _log(
+            f"worker[{measures_csv}]: resident {resident:,.0f} pairs/s "
+            f"(device {device_s * 1e3:.1f} ms/1M; per-bucket {bucket_times})"
+        )
 
     if len(measures) == 1 and "baseline_single_core_pairs_per_sec" in result:
         values, _ = res[measures[0]]
@@ -362,10 +333,12 @@ def main():
         "_meta": {
             "workload": "1M synthetic genealogy name pairs, len<=64, incl. "
                         "equal pairs, empties and nulls (make_pairs)",
-            "resident_pairs_per_sec": "device-resident kernel throughput: "
-                "inputs pre-staged on device, timed region = kernel dispatches "
-                "amortized over 8 repetitions with an in-order sync — the "
-                "pairs/sec/chip figure",
+            "resident_pairs_per_sec": "device-resident kernel throughput "
+                "(pairs/sec/chip): the real workload's bucket blocks staged "
+                "on device, marginal on-device time per block measured inside "
+                "one executable (repetition loop with data-dependent carry, "
+                "differenced across repetition counts — relay dispatch/fetch "
+                "fixed costs cancel; utils/devicetime.py)",
             "tpu_pairs_per_sec": "end-to-end including host<->device transfer; "
                 "in this harness transfers ride a ~30 MB/s relay tunnel "
                 "(~500x below PCIe), so this measures the tunnel, not the chip",

@@ -114,13 +114,25 @@ def merge_host_results(
 
 def allgather_scores(local_idx: np.ndarray, local_vals: np.ndarray, n_rows: int):
     """Optional cross-host exchange so every host holds the full score vector
-    (the engine's only collective). Requires jax.distributed to be live."""
+    (the engine's only collective). Requires jax.distributed to be live.
+
+    Bit-exactness: scores travel as their raw IEEE-754 bit pattern (two int32
+    words per f64) plus an explicit int32 ownership flag — never as floats —
+    because JAX collectives downcast f64 to f32 when x64 is disabled (the
+    default), and any arithmetic merge (max over -inf markers) would also have
+    to reason about NaN ordering. Each row is owned by exactly one host
+    (parallel/partition.py partitions are disjoint and exhaustive); the merge
+    just selects the owner's words, so the gathered vector is byte-identical
+    to a single-process run, NaN validity included."""
     from jax.experimental import multihost_utils
 
-    full = np.full(n_rows, np.nan, dtype=np.float64)
+    full = np.zeros(n_rows, dtype=np.float64)
     full[local_idx] = local_vals
-    # NaN-safe merge: each row is owned by exactly one host, others contribute
-    # -inf; max over hosts recovers the owner's value. Validity travels as NaN.
-    marker = np.where(np.isin(np.arange(n_rows), local_idx), full, -np.inf)
-    gathered = multihost_utils.process_allgather(marker)
-    return np.max(gathered, axis=0)
+    own = np.zeros(n_rows, dtype=np.int32)
+    own[local_idx] = 1
+    words = full.view(np.int32).reshape(n_rows, 2)  # (lo, hi) on little-endian
+    payload = np.concatenate([words, own[:, None]], axis=1)  # [n, 3] int32
+    gathered = np.asarray(multihost_utils.process_allgather(payload))  # [P, n, 3]
+    owner = np.argmax(gathered[:, :, 2], axis=0)  # the unique owning process
+    sel = np.ascontiguousarray(gathered[owner, np.arange(n_rows), :2])
+    return sel.view(np.float64).reshape(n_rows)

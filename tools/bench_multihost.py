@@ -1,0 +1,201 @@
+"""Measured (not cost-modeled) multi-device / multi-process scaling evidence.
+
+Real multi-chip hardware is unavailable in this environment (one tunneled
+chip), so per SURVEY.md §4 the accepted evidence is simulation on the CPU
+backend:
+
+  A. sharded-kernel timing: the SAME fused-stats kernel run with
+     data_parallel_devices in {1, 2, 4, 8} on an 8-virtual-device CPU mesh
+     (xla_force_host_platform_device_count); wall-clock per call, measured —
+     NOTE the physical box has few cores, so ideal scaling is bounded by
+     cores/XLA-CPU threading, and the numbers are evidence the sharded path
+     executes and how it scales HERE, not a chip-scaling claim;
+  B. a REAL 2-process jax.distributed run (coordinator + two workers over
+     loopback) exercising init_distributed, per-host shard scoring
+     (run_host_shard), and allgather_scores' NaN/-inf merge, verified
+     byte-identical to the single-process reference.
+
+Writes a MULTIHOST section consumed into BENCH_CONFIGS.json.
+
+Run: python tools/bench_multihost.py            (part A + spawn part B)
+     python tools/bench_multihost.py --worker I N PORT   (internal)
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_ROWS = 65536
+WIDTH = 15
+
+
+def _force_cpu(n_devices: int) -> None:
+    os.environ["STRSIM_FORCE_CPU"] = "1"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _make_block(n, width, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    packed = rng.integers(97, 123, size=(n, 2 * width), dtype=np.int32)
+    lens = rng.integers(1, width + 1, size=(n, 2), dtype=np.int32)
+    pos = np.arange(width)[None, :]
+    packed[:, :width][pos >= lens[:, :1]] = -1
+    packed[:, width:][pos >= lens[:, 1:2]] = -2
+    return packed.astype(np.int8), lens
+
+
+def part_a():
+    _force_cpu(8)
+    import numpy as np
+    import jax
+
+    from strsim_tpu.config import get_config, set_config
+    from strsim_tpu.models import pipeline as pp
+
+    measures = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
+    packed, lens = _make_block(N_ROWS, WIDTH)
+    out = {"n_rows": N_ROWS, "width": WIDTH, "host_cores": os.cpu_count(), "devices": {}}
+    base_cfg = get_config()
+    t1 = None
+    for n_dev in (1, 2, 4, 8):
+        set_config(base_cfg.replace(data_parallel_devices=n_dev))
+        try:
+            kernel, _ = pp._kernel_and_key(
+                measures,
+                (("levenshtein", "myers"), ("jaro", "bitmask"), ("multiset", "xla")),
+                N_ROWS,
+                WIDTH,
+                np.int8,
+                get_config(),
+            )
+            d_codes = jax.device_put(packed)
+            d_lens = jax.device_put(lens)
+            jax.block_until_ready(kernel(d_codes, d_lens))  # compile + warm
+            reps = 5
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = kernel(d_codes, d_lens)
+            jax.block_until_ready(r)
+            dt = (time.perf_counter() - t0) / reps
+            if n_dev == 1:
+                t1 = dt
+            out["devices"][str(n_dev)] = {
+                "wall_ms_per_call": round(dt * 1e3, 2),
+                "pairs_per_sec": round(N_ROWS / dt),
+                "speedup_vs_1dev": round(t1 / dt, 3) if t1 else None,
+                "efficiency": round(t1 / dt / n_dev, 3) if t1 else None,
+            }
+        finally:
+            set_config(base_cfg)
+    return out
+
+
+def part_b_worker(process_id: int, num_processes: int, port: int) -> None:
+    _force_cpu(2)  # 2 virtual devices per process
+    import numpy as np
+
+    from strsim_tpu.parallel.multihost import (
+        allgather_scores,
+        init_distributed,
+        run_host_shard,
+    )
+
+    pid, nproc = init_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    assert nproc == num_processes, (pid, nproc)
+
+    from bench import make_pairs
+
+    n_rows = int(os.environ.get("STRSIM_MH_ROWS", "20000"))
+    col_a, col_b = make_pairs(n_rows, seed=99)
+    idx, res = run_host_shard(list(col_a), list(col_b), ("jaro",), pid, nproc)
+    vals, valid = res["jaro"]
+    local_vals = np.where(valid, vals, np.nan)
+    full = allgather_scores(idx, local_vals, len(col_a))
+
+    # verify against the single-process reference
+    from strsim_tpu.models.pipeline import compute_scores
+
+    ref_vals, ref_valid = compute_scores(list(col_a), list(col_b), ("jaro",))["jaro"]
+    ref = np.where(ref_valid, ref_vals, np.nan)
+    same = np.array_equal(full, ref, equal_nan=True)
+    bitexact = full.tobytes() == ref.tobytes()
+    print(
+        json.dumps(
+            {
+                "process": pid,
+                "num_processes": nproc,
+                "rows": int(len(col_a)),
+                "local_rows": int(idx.size),
+                "allgather_matches_reference": bool(same),
+                "bit_exact": bool(bitexact),
+            }
+        ),
+        flush=True,
+    )
+    assert same, "allgather result mismatch"
+
+
+def part_b(num_processes: int = 2) -> dict:
+    port = 12379
+    procs = []
+    for i in range(num_processes):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # each worker sets its own device count
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(i), str(num_processes), str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                env=env,
+                cwd=REPO,
+                text=True,
+            )
+        )
+    out = {"num_processes": num_processes, "workers": [], "ok": True}
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, stderr = p.communicate()
+        ok = p.returncode == 0
+        out["ok"] = out["ok"] and ok
+        for line in stdout.splitlines():
+            if line.startswith("{"):
+                out["workers"].append(json.loads(line))
+        if not ok:
+            out.setdefault("errors", []).append(stderr[-2000:])
+    return out
+
+
+def main():
+    result = {"sharded_kernel_cpu_mesh": part_a(), "jax_distributed_2proc": part_b()}
+    path = os.path.join(REPO, "MULTIHOST_MEASURED.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 5 and sys.argv[1] == "--worker":
+        part_b_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()
