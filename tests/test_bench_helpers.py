@@ -29,8 +29,10 @@ def test_make_pairs_shape_and_content():
 def test_measure_resident_cpu():
     col_a, col_b = make_pairs(4000)
     a, b = _encode(col_a, col_b)
-    pps = measure_resident(a, b, ("levenshtein",), n_reps=1)
-    assert pps is not None and pps > 0
+    out = measure_resident(a, b, ("levenshtein",))
+    assert out is not None
+    pps, bucket_times, device_s = out
+    assert pps > 0 and device_s > 0 and bucket_times
 
 
 def test_resident_matches_e2e_stats():
@@ -41,7 +43,7 @@ def test_resident_matches_e2e_stats():
 
     col_a, col_b = make_pairs(2000)
     a, b = _encode(col_a, col_b)
-    measure_resident(a, b, ("jaro_winkler",), n_reps=1)
+    measure_resident(a, b, ("jaro_winkler",))
     vals, valid = compute_scores(a, b, ("jaro_winkler",))["jaro_winkler"]
     idx = [i for i in range(2000) if valid[i]]
     want = [ORACLES["jaro_winkler"](col_a[i], col_b[i]) for i in idx[:500]]
