@@ -149,7 +149,9 @@ def measure_resident(a, b, measures):
         dtype = np.int8 if cfg.narrow_tiles else np.int32
         n_pad = ((sel.size + block - 1) // block) * block
         w_have = min(width, a.codes.shape[1])
-        packed = np.empty((n_pad, 2 * width), dtype=dtype)
+        from strsim_tpu.utils.alloc import fast_empty
+
+        packed = fast_empty((n_pad, 2 * width), dtype)
         packed[:, :width] = enc.PAD_A
         packed[:, width:] = enc.PAD_B
         packed[: sel.size, :w_have] = a.codes[sel, :w_have]

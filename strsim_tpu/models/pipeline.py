@@ -232,7 +232,9 @@ def compute_scores(
             n_w = in_bucket.size
             dtype = np.int32
             if cfg.narrow_tiles and n_w:
-                if (
+                if a.codes.dtype == np.int8 and b.codes.dtype == np.int8:
+                    dtype = np.int8  # whole column is ASCII-encoded int8
+                elif (
                     a.codes[in_bucket, :w].max(initial=0) < 128
                     and b.codes[in_bucket, :w].max(initial=0) < 128
                 ):
@@ -409,19 +411,19 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
     # paying the bucket's full padded width
     sel = sel[np.argsort(la[sel].astype(np.int64) + lb[sel], kind="stable")]
 
-    codes_a = a.codes[sel, :width] if a.width >= width else _pad_codes(a.codes[sel], enc.PAD_A, width)
-    codes_b = b.codes[sel, :width] if b.width >= width else _pad_codes(b.codes[sel], enc.PAD_B, width)
     lens_a = la[sel]
     lens_b = lb[sel]
 
     if dtype is None:
         dtype = np.int32
         if cfg.narrow_tiles and sel.size:
-            if codes_a.max(initial=0) < 128 and codes_b.max(initial=0) < 128:
+            if a.codes.dtype == np.int8 and b.codes.dtype == np.int8:
+                dtype = np.int8  # column already encoded as pure-ASCII int8
+            elif (
+                a.codes[sel, :width].max(initial=0) < 128
+                and b.codes[sel, :width].max(initial=0) < 128
+            ):
                 dtype = np.int8  # pure-ASCII bucket: 4x less transfer
-    if dtype == np.int8:
-        codes_a = codes_a.astype(np.int8)
-        codes_b = codes_b.astype(np.int8)
 
     block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
     chunks = _chunks_for(sel.size, block)
@@ -444,15 +446,35 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
     # chunk padding is near-free thanks to the kernels' dynamic trip counts.)
     group = chunks * block
     n_pad = ((sel.size + group - 1) // group) * group
-    packed = np.empty((n_pad, 2 * width), dtype=codes_a.dtype)
-    packed[: sel.size, :width] = codes_a
-    packed[: sel.size, width:] = codes_b
-    if n_pad > sel.size:
-        packed[sel.size :, :width] = enc.PAD_A
-        packed[sel.size :, width:] = enc.PAD_B
-    lens = np.zeros((n_pad, 2), dtype=np.int32)
-    lens[: sel.size, 0] = lens_a
-    lens[: sel.size, 1] = lens_b
+    native_pack = None
+    if a.codes.dtype == dtype and b.codes.dtype == dtype and a.width == b.width:
+        try:
+            from strsim_tpu.native.binding import pack_bucket
+
+            native_pack = pack_bucket(
+                a.codes, b.codes, la, lb, sel, width,
+                enc.PAD_A, enc.PAD_B, n_pad,
+            )
+        except Exception:
+            native_pack = None
+    if native_pack is not None:
+        packed, lens = native_pack
+    else:
+        from strsim_tpu.utils.alloc import fast_empty
+
+        codes_a = a.codes[sel, :width] if a.width >= width else _pad_codes(a.codes[sel], enc.PAD_A, width)
+        codes_b = b.codes[sel, :width] if b.width >= width else _pad_codes(b.codes[sel], enc.PAD_B, width)
+        codes_a = codes_a.astype(dtype, copy=False)
+        codes_b = codes_b.astype(dtype, copy=False)
+        packed = fast_empty((n_pad, 2 * width), dtype)
+        packed[: sel.size, :width] = codes_a
+        packed[: sel.size, width:] = codes_b
+        if n_pad > sel.size:
+            packed[sel.size :, :width] = enc.PAD_A
+            packed[sel.size :, width:] = enc.PAD_B
+        lens = np.zeros((n_pad, 2), dtype=np.int32)
+        lens[: sel.size, 0] = lens_a
+        lens[: sel.size, 1] = lens_b
 
     def upload_and_dispatch():
         outs = []
@@ -591,7 +613,7 @@ def _pad_codes(codes: np.ndarray, pad: int, width: int) -> np.ndarray:
     n, w = codes.shape
     if w == width:
         return codes
-    padded = np.full((n, width), pad, dtype=np.int32)
+    padded = np.full((n, width), pad, dtype=codes.dtype)
     padded[:, : min(w, width)] = codes[:, :width]
     return padded
 

@@ -21,6 +21,146 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def encode_object_column(
+    arr: np.ndarray, pad: int, width: Optional[int]
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Object ndarray of str|None → (codes, lengths, validity) via direct
+    PyUnicode struct reads in C++ (no UTF-8 round-trip, threaded, and the
+    codes tile is int8 when the whole column is ASCII). Returns None when the
+    native path is unavailable or the column contains str subclasses (the
+    caller's slower paths handle those); raises TypeError for non-strings,
+    ValueError when a row exceeds `width` — matching the numpy path.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "strsim_scan_object_column"):
+        return None
+    n = arr.shape[0]
+    if n == 0:
+        return None
+    lib.strsim_scan_object_column.restype = ctypes.c_int64
+    lib.strsim_encode_object_column.restype = ctypes.c_int64
+    lengths = np.empty(n, dtype=np.int32)
+    validity = np.empty(n, dtype=np.uint8)
+    all_ascii = ctypes.c_int32(0)
+    objs = ctypes.c_void_p(arr.ctypes.data)
+    none_addr = ctypes.c_void_p(id(None))
+    str_addr = ctypes.c_void_p(id(str))
+    rc = lib.strsim_scan_object_column(
+        objs,
+        ctypes.c_int64(n),
+        none_addr,
+        str_addr,
+        _ptr(lengths, ctypes.c_int32),
+        _ptr(validity, ctypes.c_uint8),
+        ctypes.byref(all_ascii),
+    )
+    if rc < 0:
+        row = int(-rc) - 1
+        raise TypeError(
+            f"expected str or None at row {row}, got {type(arr[row]).__name__}"
+        )
+    max_len = int(rc)
+    w = width if width is not None else max(max_len, 1)
+    if max_len > w:
+        raise ValueError(f"width {w} smaller than longest row ({max_len})")
+    from strsim_tpu.utils.alloc import fast_empty
+
+    dtype = np.int8 if all_ascii.value else np.int32
+    codes = fast_empty((n, w), dtype)
+    rc = lib.strsim_encode_object_column(
+        objs,
+        ctypes.c_int64(n),
+        none_addr,
+        ctypes.c_int32(w),
+        ctypes.c_int32(pad),
+        ctypes.c_int32(codes.dtype.itemsize),
+        ctypes.c_void_p(codes.ctypes.data),
+    )
+    if rc != 0:
+        raise ValueError(f"row {rc - 1} longer than tile width {w}")
+    return codes, lengths, validity.view(bool)
+
+
+def equal_rows_native(
+    codes_a: np.ndarray,
+    codes_b: np.ndarray,
+    len_a: np.ndarray,
+    len_b: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Threaded per-row tile equality (lengths match + prefix memcmp).
+    Returns bool [n], or None when the native path does not apply."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "strsim_equal_rows"):
+        return None
+    if codes_a.dtype != codes_b.dtype or codes_a.shape != codes_b.shape:
+        return None
+    if not (codes_a.flags.c_contiguous and codes_b.flags.c_contiguous):
+        return None
+    n, w = codes_a.shape
+    la = np.ascontiguousarray(len_a, dtype=np.int32)
+    lb = np.ascontiguousarray(len_b, dtype=np.int32)
+    out = np.empty(n, dtype=np.uint8)
+    lib.strsim_equal_rows(
+        ctypes.c_void_p(codes_a.ctypes.data),
+        ctypes.c_void_p(codes_b.ctypes.data),
+        _ptr(la, ctypes.c_int32),
+        _ptr(lb, ctypes.c_int32),
+        ctypes.c_int64(n),
+        ctypes.c_int32(w),
+        ctypes.c_int32(codes_a.dtype.itemsize),
+        _ptr(out, ctypes.c_uint8),
+    )
+    return out.view(bool)
+
+
+def pack_bucket(
+    codes_a: np.ndarray,
+    codes_b: np.ndarray,
+    len_a: np.ndarray,
+    len_b: np.ndarray,
+    sel: np.ndarray,
+    width: int,
+    pad_a: int,
+    pad_b: int,
+    n_out: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Gather bucket rows straight into the packed [n_out, 2*width] staging
+    tile + [n_out, 2] lengths (one threaded C++ pass, no gather temps).
+    Returns None when the native path does not apply (caller packs in numpy).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "strsim_pack_bucket"):
+        return None
+    if codes_a.dtype != codes_b.dtype or codes_a.shape[1] != codes_b.shape[1]:
+        return None
+    if not (codes_a.flags.c_contiguous and codes_b.flags.c_contiguous):
+        return None
+    from strsim_tpu.utils.alloc import fast_empty
+
+    sel64 = np.ascontiguousarray(sel, dtype=np.int64)
+    la = np.ascontiguousarray(len_a, dtype=np.int32)
+    lb = np.ascontiguousarray(len_b, dtype=np.int32)
+    packed = fast_empty((n_out, 2 * width), codes_a.dtype)
+    lens = np.empty((n_out, 2), dtype=np.int32)
+    lib.strsim_pack_bucket(
+        ctypes.c_void_p(codes_a.ctypes.data),
+        ctypes.c_void_p(codes_b.ctypes.data),
+        ctypes.c_int32(codes_a.shape[1]),
+        _ptr(la, ctypes.c_int32),
+        _ptr(lb, ctypes.c_int32),
+        _ptr(sel64, ctypes.c_int64),
+        ctypes.c_int64(sel64.shape[0]),
+        ctypes.c_int32(width),
+        ctypes.c_int32(pad_a),
+        ctypes.c_int32(pad_b),
+        ctypes.c_int32(codes_a.dtype.itemsize),
+        ctypes.c_void_p(packed.ctypes.data),
+        _ptr(lens, ctypes.c_int32),
+        ctypes.c_int64(n_out),
+    )
+    return packed, lens
+
+
 def decode_utf8_column(
     data: np.ndarray,
     offsets: np.ndarray,
@@ -42,7 +182,9 @@ def decode_utf8_column(
         if validity is not None
         else None
     )
-    codes = np.empty((n, width), dtype=np.int32)
+    from strsim_tpu.utils.alloc import fast_empty
+
+    codes = fast_empty((n, width), np.int32)
     lengths = np.empty(n, dtype=np.int32)
     if lib is None:
         return _decode_utf8_py(data, offsets, val, width, pad, codes, lengths)

@@ -31,17 +31,34 @@ _CXXFLAGS = [
     # bit-for-float parity with the reference requires strict IEEE ops:
     # no FMA contraction (x*y+z fused changes the last ulp of winkler)
     "-ffp-contract=off",
+    # the CPython-header ingestion path must compile to pure struct reads:
+    # NDEBUG drops the assert() calls inside the inline unicode accessors
+    "-DNDEBUG",
 ]
 
 
+def _python_include_flags() -> list:
+    """Include path for Python.h (optional — the C++ guards on __has_include)."""
+    try:
+        import sysconfig
+
+        inc = sysconfig.get_paths().get("include")
+        if inc and os.path.exists(os.path.join(inc, "Python.h")):
+            return [f"-I{inc}"]
+    except Exception:
+        pass
+    return []
+
+
 def build_library() -> pathlib.Path:
-    src = _SRC.read_bytes() + " ".join(_CXXFLAGS).encode()
+    flags = [*_CXXFLAGS, *_python_include_flags()]
+    src = _SRC.read_bytes() + " ".join(flags).encode()
     tag = hashlib.sha256(src).hexdigest()[:16]
     out = _cache_dir() / f"strsim_host_{tag}.so"
     if out.exists():
         return out
     tmp = out.with_suffix(".so.tmp")
-    cmd = ["g++", *_CXXFLAGS, str(_SRC), "-o", str(tmp)]
+    cmd = ["g++", *flags, str(_SRC), "-o", str(tmp)]
     subprocess.run(cmd, check=True, capture_output=True)
     tmp.replace(out)
     return out

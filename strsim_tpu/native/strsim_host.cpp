@@ -13,7 +13,16 @@
 //     single-core Rust baseline in bench.py, and (b) an exact host fallback
 //     for overflow rows, much faster than the Python oracle.
 //
-// Build: g++ -O3 -shared -fPIC (see build.py). No external dependencies.
+// Build: g++ -O3 -shared -fPIC (see build.py). No external dependencies
+// beyond the optional CPython headers (struct-reads only, no libpython
+// symbols — the library still loads outside a Python process).
+
+#if defined(__has_include)
+#if __has_include(<Python.h>)
+#define STRSIM_HAVE_PYTHON 1
+#include <Python.h>
+#endif
+#endif
 
 #include <algorithm>
 #include <cstdint>
@@ -164,7 +173,270 @@ int64_t strsim_utf8_max_chars(const uint8_t* data, const int64_t* offsets,
   return maxc;
 }
 
+// Vectorized per-row string equality over padded tiles (the reference's
+// a == b byte fast path, src/expressions/strsim.rs:128, lifted to a whole
+// column). Pads differ between sides (PAD_A=-1 vs PAD_B=-2) so only the
+// first len elements can match; rows are equal iff lengths match and the
+// prefix bytes compare equal. elem_bytes: 1 (int8 tiles) or 4 (int32).
+int64_t strsim_equal_rows(const void* codes_a, const void* codes_b,
+                          const int32_t* len_a, const int32_t* len_b,
+                          int64_t n, int32_t width, int32_t elem_bytes,
+                          uint8_t* out) {
+  auto run = [=](int64_t lo, int64_t hi) {
+    const char* base_a = static_cast<const char*>(codes_a);
+    const char* base_b = static_cast<const char*>(codes_b);
+    int64_t stride = (int64_t)width * elem_bytes;
+    for (int64_t r = lo; r < hi; ++r) {
+      if (len_a[r] != len_b[r]) {
+        out[r] = 0;
+        continue;
+      }
+      out[r] = std::memcmp(base_a + r * stride, base_b + r * stride,
+                           (size_t)len_a[r] * elem_bytes) == 0;
+    }
+  };
+  int64_t nthreads =
+      std::min<int64_t>((int64_t)std::thread::hardware_concurrency(), 8);
+  if (n < 65536 || nthreads <= 1) {
+    run(0, n);
+    return 0;
+  }
+  std::vector<std::thread> pool;
+  int64_t chunk = n / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = (t == nthreads - 1) ? n : lo + chunk;
+    pool.emplace_back(run, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
+// Gather selected rows of two padded code tiles straight into the packed
+// [n_out, 2*width] device staging buffer (a-row | b-row per output row) and
+// the [n_out, 2] length tile — one threaded pass, no intermediate gathers.
+// Rows past n_sel (group-size padding) are pad-filled with zero lengths.
+// elem_bytes must match both tiles (1 = int8 ASCII, 4 = int32).
+int64_t strsim_pack_bucket(const void* codes_a, const void* codes_b,
+                           int32_t w_src, const int32_t* len_a,
+                           const int32_t* len_b, const int64_t* sel,
+                           int64_t n_sel, int32_t width, int32_t pad_a,
+                           int32_t pad_b, int32_t elem_bytes, void* out,
+                           int32_t* out_lens, int64_t n_out) {
+  int32_t w_copy = std::min(w_src, width);
+  auto run = [=](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      char* dst = static_cast<char*>(out) + r * (int64_t)2 * width * elem_bytes;
+      if (r >= n_sel) {
+        if (elem_bytes == 1) {
+          std::memset(dst, (char)pad_a, (size_t)width);
+          std::memset(dst + width, (char)pad_b, (size_t)width);
+        } else {
+          int32_t* d = (int32_t*)dst;
+          for (int32_t i = 0; i < width; ++i) d[i] = pad_a;
+          for (int32_t i = 0; i < width; ++i) d[width + i] = pad_b;
+        }
+        out_lens[r * 2] = 0;
+        out_lens[r * 2 + 1] = 0;
+        continue;
+      }
+      int64_t s = sel[r];
+      const char* ra =
+          static_cast<const char*>(codes_a) + s * (int64_t)w_src * elem_bytes;
+      const char* rb =
+          static_cast<const char*>(codes_b) + s * (int64_t)w_src * elem_bytes;
+      std::memcpy(dst, ra, (size_t)w_copy * elem_bytes);
+      std::memcpy(dst + (int64_t)width * elem_bytes, rb,
+                  (size_t)w_copy * elem_bytes);
+      if (width > w_copy) {
+        if (elem_bytes == 1) {
+          std::memset(dst + w_copy, (char)pad_a, (size_t)(width - w_copy));
+          std::memset(dst + width + w_copy, (char)pad_b,
+                      (size_t)(width - w_copy));
+        } else {
+          int32_t* d = (int32_t*)dst;
+          for (int32_t i = w_copy; i < width; ++i) d[i] = pad_a;
+          for (int32_t i = w_copy; i < width; ++i) d[width + i] = pad_b;
+        }
+      }
+      out_lens[r * 2] = len_a[s];
+      out_lens[r * 2 + 1] = len_b[s];
+    }
+  };
+  int64_t nthreads =
+      std::min<int64_t>((int64_t)std::thread::hardware_concurrency(), 8);
+  if (n_out < 65536 || nthreads <= 1) {
+    run(0, n_out);
+    return 0;
+  }
+  std::vector<std::thread> pool;
+  int64_t chunk = n_out / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = (t == nthreads - 1) ? n_out : lo + chunk;
+    pool.emplace_back(run, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
 }  // extern "C"
+
+#ifdef STRSIM_HAVE_PYTHON
+// ---------------------------------------------------------------------------
+// Direct PyUnicode column ingestion
+// ---------------------------------------------------------------------------
+// The fastest possible host encode: read codepoints straight out of CPython's
+// compact unicode representation (PEP 393) into the padded device tile — no
+// UTF-8 round-trip, no Python-level join/length passes. Only immutable struct
+// fields of objects kept alive by the caller's numpy object array are read;
+// no refcounts are touched, so the passes run GIL-released and threaded.
+// Type identity is checked against caller-supplied PyObject addresses
+// (id(None), id(str)) so the library links without any libpython symbols.
+
+extern "C" {
+
+// Pass 1: per-row codepoint lengths + validity, column max length, ASCII-ness.
+// Returns max length (>= 0), or -(r+1) if row r is neither str nor None.
+int64_t strsim_scan_object_column(void* const* objs, int64_t n, void* none_obj,
+                                  void* str_type, int32_t* out_lengths,
+                                  uint8_t* out_validity,
+                                  int32_t* out_all_ascii) {
+  int64_t nthreads =
+      std::min<int64_t>((int64_t)std::thread::hardware_concurrency(), 8);
+  if (n < 65536) nthreads = 1;
+  std::vector<int64_t> maxs((size_t)nthreads, 0), errs((size_t)nthreads, 0);
+  std::vector<int32_t> asciis((size_t)nthreads, 1);
+  auto run = [=, &maxs, &errs, &asciis](int64_t t, int64_t lo, int64_t hi) {
+    int64_t mx = 0;
+    int32_t all_ascii = 1;
+    for (int64_t r = lo; r < hi; ++r) {
+      PyObject* o = (PyObject*)objs[r];
+      if ((void*)o == none_obj) {
+        out_lengths[r] = 0;
+        out_validity[r] = 0;
+        continue;
+      }
+      // PyUnicode_Check is a tp_flags bit read (Py_TPFLAGS_UNICODE_SUBCLASS)
+      // — covers str subclasses like np.str_, whose PyUnicode layout the
+      // accessors below handle (subclass instances are legacy/ready strings).
+      if (!PyUnicode_Check(o)) {
+        errs[(size_t)t] = r + 1;
+        return;
+      }
+      (void)str_type;
+      Py_ssize_t len = PyUnicode_GET_LENGTH(o);
+      out_lengths[r] = (int32_t)len;
+      out_validity[r] = 1;
+      if (!PyUnicode_IS_ASCII(o)) all_ascii = 0;
+      if (len > mx) mx = len;
+    }
+    maxs[(size_t)t] = mx;
+    asciis[(size_t)t] = all_ascii;
+  };
+  if (nthreads <= 1) {
+    run(0, 0, n);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = n / nthreads;
+    for (int64_t t = 0; t < nthreads; ++t) {
+      int64_t lo = t * chunk;
+      int64_t hi = (t == nthreads - 1) ? n : lo + chunk;
+      pool.emplace_back(run, t, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  for (int64_t e : errs)
+    if (e) return -e;
+  int64_t mx = 0;
+  int32_t all_ascii = 1;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    mx = std::max(mx, maxs[(size_t)t]);
+    all_ascii &= asciis[(size_t)t];
+  }
+  *out_all_ascii = all_ascii;
+  return mx;
+}
+
+// Pass 2: copy codepoints into the padded [n, width] tile.
+// elem_bytes 1 writes int8 (caller guarantees an all-ASCII column, pass 1's
+// out_all_ascii); elem_bytes 4 writes int32 for any kind. None rows are
+// pad-filled (validity handled by the caller). Returns 0, or r+1 if row r
+// is longer than width.
+int64_t strsim_encode_object_column(void* const* objs, int64_t n,
+                                    void* none_obj, int32_t width, int32_t pad,
+                                    int32_t elem_bytes, void* out_codes) {
+  int64_t nthreads =
+      std::min<int64_t>((int64_t)std::thread::hardware_concurrency(), 8);
+  if (n < 65536) nthreads = 1;
+  std::vector<int64_t> errs((size_t)nthreads, 0);
+  auto run = [=, &errs](int64_t t, int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) {
+      PyObject* o = (PyObject*)objs[r];
+      if (elem_bytes == 1) {
+        int8_t* dst = (int8_t*)out_codes + r * width;
+        if ((void*)o == none_obj) {
+          std::memset(dst, (char)pad, (size_t)width);
+          continue;
+        }
+        Py_ssize_t len = PyUnicode_GET_LENGTH(o);
+        if (len > width) {
+          errs[(size_t)t] = r + 1;
+          return;
+        }
+        // ASCII column: kind-1 data is the byte string itself
+        std::memcpy(dst, PyUnicode_1BYTE_DATA(o), (size_t)len);
+        std::memset(dst + len, (char)pad, (size_t)(width - len));
+      } else {
+        int32_t* dst = (int32_t*)out_codes + r * width;
+        if ((void*)o == none_obj) {
+          for (int32_t i = 0; i < width; ++i) dst[i] = pad;
+          continue;
+        }
+        Py_ssize_t len = PyUnicode_GET_LENGTH(o);
+        if (len > width) {
+          errs[(size_t)t] = r + 1;
+          return;
+        }
+        switch (PyUnicode_KIND(o)) {
+          case PyUnicode_1BYTE_KIND: {
+            const Py_UCS1* s = PyUnicode_1BYTE_DATA(o);
+            for (Py_ssize_t i = 0; i < len; ++i) dst[i] = s[i];
+            break;
+          }
+          case PyUnicode_2BYTE_KIND: {
+            const Py_UCS2* s = PyUnicode_2BYTE_DATA(o);
+            for (Py_ssize_t i = 0; i < len; ++i) dst[i] = s[i];
+            break;
+          }
+          default: {
+            std::memcpy(dst, PyUnicode_4BYTE_DATA(o), (size_t)len * 4);
+            break;
+          }
+        }
+        for (Py_ssize_t i = len; i < width; ++i) dst[i] = pad;
+      }
+    }
+  };
+  if (nthreads <= 1) {
+    run(0, 0, n);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t chunk = n / nthreads;
+    for (int64_t t = 0; t < nthreads; ++t) {
+      int64_t lo = t * chunk;
+      int64_t hi = (t == nthreads - 1) ? n : lo + chunk;
+      pool.emplace_back(run, t, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  for (int64_t e : errs)
+    if (e) return e;
+  return 0;
+}
+
+}  // extern "C"
+#endif  // STRSIM_HAVE_PYTHON
 
 // ---------------------------------------------------------------------------
 // Scalar similarity kernels over ragged codepoint columns

@@ -33,8 +33,10 @@ PAD_B = -2
 class EncodedColumn:
     """A decoded string column.
 
-    codes:    [N, L] int32 codepoints, PAD-filled past each row's length
-              (pad value chosen by the caller via `pad`).
+    codes:    [N, L] codepoints, PAD-filled past each row's length (pad value
+              chosen by the caller via `pad`). Dtype is int8 when the native
+              encoder proved the whole column ASCII, else int32; PAD values
+              (-1/-2) are identical in both. All consumers are dtype-agnostic.
     lengths:  [N] int32 codepoint counts (0 for null rows).
     validity: [N] bool — False where the input was null (None).
     """
@@ -90,6 +92,9 @@ def encode_column(col, pad: int = PAD_A, width: Optional[int] = None) -> Encoded
 
         return ArrowStringColumn.from_pyarrow(col).encode(pad=pad, width=width)
     arr = _to_object_array(col)
+    obj = _encode_objects(arr, pad, width)
+    if obj is not None:
+        return obj
     fast = _encode_fast(arr, pad, width)
     if fast is not None:
         return fast
@@ -124,6 +129,28 @@ def encode_column(col, pad: int = PAD_A, width: Optional[int] = None) -> Encoded
     codes = u.view(np.uint32).reshape(n, w).astype(np.int32)
     mask = np.arange(w, dtype=np.int32)[None, :] < lengths[:, None]
     codes = np.where(mask, codes, np.int32(pad))
+    return EncodedColumn(codes=codes, lengths=lengths, validity=validity)
+
+
+def _encode_objects(arr: np.ndarray, pad: int, width: Optional[int]) -> Optional[EncodedColumn]:
+    """Fastest host encode: the native library reads codepoints straight out
+    of CPython's compact unicode structs (threaded, no UTF-8 round-trip, no
+    Python-level passes), yielding an int8 tile when the column is pure ASCII
+    (4x less memory and device transfer). Returns None when the native
+    library is absent or the column holds str subclasses."""
+    try:
+        from strsim_tpu.native.binding import encode_object_column
+    except Exception:
+        return None
+    try:
+        out = encode_object_column(arr, pad, width)
+    except (TypeError, ValueError):
+        raise
+    except Exception:
+        return None
+    if out is None:
+        return None
+    codes, lengths, validity = out
     return EncodedColumn(codes=codes, lengths=lengths, validity=validity)
 
 
@@ -199,9 +226,13 @@ def _repad(c: EncodedColumn, pad: int, width: int) -> EncodedColumn:
         return c
     if c.width > width:
         raise ValueError("cannot shrink below content width")
-    extra = np.full((c.n, width - c.width), pad, dtype=np.int32)
+    from strsim_tpu.utils.alloc import fast_empty
+
+    wide = fast_empty((c.n, width), c.codes.dtype)
+    wide[:, : c.width] = c.codes
+    wide[:, c.width :] = pad
     return EncodedColumn(
-        codes=np.concatenate([c.codes, extra], axis=1),
+        codes=wide,
         lengths=c.lengths,
         validity=c.validity,
     )
@@ -214,18 +245,24 @@ def decode_row(codes: np.ndarray, length: int) -> str:
 
 def equal_rows(a: EncodedColumn, b: EncodedColumn) -> np.ndarray:
     """Vectorized per-row string equality (the reference's a == b fast path,
-    src/expressions/strsim.rs:128). Pads differ between sides, so padded tails
-    never compare equal — equality over the tile plus a length check is exact.
-    The character scan only touches rows whose lengths already match."""
+    src/expressions/strsim.rs:128). Pads differ between sides (PAD_A vs
+    PAD_B), so padded tails never compare equal and a-chars never equal
+    b-pads — a row is equal iff the lengths match and every in-length
+    position matches. Native path: threaded length-check + prefix memcmp.
+    Numpy fallback counts equal positions per row (no row gather temps):
+    pads can never contribute, so count == len_a == len_b is exact."""
+    if a.width != b.width:
+        w = max(a.width, b.width)
+        a = _repad(a, PAD_A, w)
+        b = _repad(b, PAD_B, w)
+    try:
+        from strsim_tpu.native.binding import equal_rows_native
+
+        out = equal_rows_native(a.codes, b.codes, a.lengths, b.lengths)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     same_len = a.lengths == b.lengths
-    out = np.zeros(a.n, dtype=bool)
-    cand = np.nonzero(same_len)[0]
-    if cand.size == 0:
-        return out
-    w = a.codes.shape[1]
-    ca = a.codes[cand]
-    cb = b.codes[cand]
-    pos = np.arange(w, dtype=np.int32)[None, :]
-    in_a = pos < a.lengths[cand][:, None]
-    out[cand] = np.all((ca == cb) | ~in_a, axis=1)
-    return out
+    eq_count = np.count_nonzero(a.codes == b.codes, axis=1)
+    return same_len & (eq_count == a.lengths)
