@@ -72,6 +72,14 @@ class StrsimConfig:
     # by default — slow-but-progressing device phases must not trip it.
     execute_timeout_s: Optional[float] = 600.0
 
+    # Small-input short-circuit: when at most this many rows need kernel math,
+    # score them on the exact multi-core native host path and never touch the
+    # device — cold-start compiles + tunnel round-trips cost seconds, while
+    # the native path clears thousands of rows in single-digit milliseconds
+    # (the 6-row README demo must not pay a 20-120s first compile). 0 disables
+    # (tests force 0 so kernels stay exercised on tiny batches).
+    host_short_circuit_rows: int = 8192
+
     # Mesh axis name used by the batch-sharded data-parallel layer.
     batch_axis: str = "data"
 

@@ -18,6 +18,13 @@ import pathlib
 
 import pytest
 
+# Tests exercise the device kernels on tiny batches; disable the production
+# small-input host short-circuit so they keep doing so. The short-circuit
+# itself is covered explicitly in tests/test_api.py.
+from strsim_tpu.config import get_config, set_config
+
+set_config(get_config().replace(host_short_circuit_rows=0))
+
 GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 
 

@@ -165,3 +165,24 @@ def test_execute_timeout_falls_back_to_host():
     want = np.array([ORACLES["levenshtein"]("phillips", "philips"),
                      ORACLES["levenshtein"]("kitten", "sitting")])
     assert got.tobytes() == want.tobytes()
+
+
+def test_host_short_circuit_skips_device():
+    """Below the threshold, kernel-needing rows score on the exact host path
+    and the device is never dispatched (cold-start latency guard)."""
+    from strsim_tpu.models.pipeline import compute_scores
+    from strsim_tpu.utils.metrics import RunMetrics
+
+    cfg = st.get_config().replace(host_short_circuit_rows=8192)
+    m = RunMetrics()
+    col_a = ["smith", "johnson", "wbc", None, ""]
+    col_b = ["smyth", "jonson", "abc", "x", ""]
+    out = compute_scores(col_a, col_b, ("levenshtein", "jaro_winkler"), config=cfg, metrics=m)
+    assert m.device_rows == 0
+    assert m.oracle_rows == 3  # the three real pairs; null + both-empty resolve earlier
+    for measure in ("levenshtein", "jaro_winkler"):
+        vals, valid = out[measure]
+        assert not valid[3]
+        assert vals[4] == 1.0
+        for i in range(3):
+            assert vals[i] == ORACLES[measure](col_a[i], col_b[i])
