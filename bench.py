@@ -164,7 +164,13 @@ def measure_resident(a, b, measures):
         dev_codes = jnp.asarray(packed.reshape(C, block, 2 * width))
         dev_lens = jnp.asarray(lens.reshape(C, block, 2))
         t_block = marginal_block_time(base, dev_codes, dev_lens)
-        bucket_times[width] = {"blocks": C, "block_ms": round(t_block * 1e3, 4)}
+        bucket_times[width] = {
+            "blocks": C,
+            "block_ms": round(t_block * 1e3, 4),
+            "block_rows": block,
+            "rows": int(sel.size),
+            "itemsize": int(np.dtype(dtype).itemsize),
+        }
         device_s += t_block * C
         n_rows += sel.size
 
@@ -229,29 +235,6 @@ def worker(measures_csv: str, out_path: str) -> None:
     }
     _log(f"worker[{measures_csv}]: tpu {N_PAIRS / dt:,.0f} pairs/s ({dt:.2f}s) phases={result['phases']}")
 
-    # per-kernel speed-of-light accounting (north star: roofline per kernel)
-    try:
-        from strsim_tpu.ops.roofline import roofline_report
-
-        kernel_name = {
-            "levenshtein": "levenshtein",
-            "jaro": "jaro",
-            "jaro_winkler": "jaro",
-            "jaccard": "multiset",
-            "sorensen_dice": "multiset",
-        }.get(measures[0])
-        if kernel_name and len(measures) == 1:
-            dominant_w = max(
-                metrics.buckets, key=lambda w: metrics.buckets[w].rows, default=None
-            )
-            if dominant_w:
-                bm = metrics.buckets[dominant_w]
-                result["roofline_dominant_bucket"] = roofline_report(
-                    kernel_name, bm.rows, dominant_w, max(bm.device_wall_s, 1e-9)
-                )
-    except Exception:
-        pass
-
     res_tuple = measure_resident(a, b, measures)
     resident = None
     if res_tuple is not None:
@@ -263,6 +246,32 @@ def worker(measures_csv: str, out_path: str) -> None:
             f"worker[{measures_csv}]: resident {resident:,.0f} pairs/s "
             f"(device {device_s * 1e3:.1f} ms/1M; per-bucket {bucket_times})"
         )
+
+    # per-kernel speed-of-light accounting (north star: roofline per kernel),
+    # from the RESIDENT chunk-differenced timing — the only device time the
+    # relay cannot distort — against the measured CALIBRATION.json envelope
+    try:
+        from strsim_tpu.ops.roofline import roofline_report
+
+        kernel_name = {
+            "levenshtein": "levenshtein",
+            "jaro": "jaro",
+            "jaro_winkler": "jaro",
+            "jaccard": "multiset",
+            "sorensen_dice": "multiset",
+        }.get(measures[0])
+        if kernel_name and len(measures) == 1 and res_tuple is not None:
+            dominant_w = max(bucket_times, key=lambda w: bucket_times[w]["rows"])
+            bt = bucket_times[dominant_w]
+            result["roofline_dominant_bucket"] = roofline_report(
+                kernel_name,
+                bt["blocks"] * bt["block_rows"],
+                dominant_w,
+                max(bt["blocks"] * bt["block_ms"] / 1e3, 1e-9),
+                itemsize=bt["itemsize"],
+            )
+    except Exception:
+        pass
 
     if len(measures) == 1 and "baseline_single_core_pairs_per_sec" in result:
         values, _ = res[measures[0]]
