@@ -185,11 +185,20 @@ def worker(measures_csv: str, out_path: str) -> None:
     from strsim_tpu.native import native_compute, native_available
 
     measures = tuple(measures_csv.split(","))
-    a, b = _encoded_pair(N_PAIRS)
-    validity = a.validity & b.validity
-    _log(f"worker[{measures_csv}]: encoded {N_PAIRS:,} pairs (width {a.width})")
+    col_a, col_b = make_pairs(N_PAIRS)  # generation excluded from encode timing
+    t_enc = time.perf_counter()
+    from strsim_tpu.utils import encode as enc
 
-    result = {"measures": measures_csv, "n_pairs": N_PAIRS}
+    a, b = enc.encode_pair(col_a, col_b)
+    encode_s = time.perf_counter() - t_enc
+    del col_a, col_b
+    validity = a.validity & b.validity
+    _log(
+        f"worker[{measures_csv}]: encoded {N_PAIRS:,} pairs "
+        f"(width {a.width}, {encode_s:.2f}s, dtype {a.codes.dtype})"
+    )
+
+    result = {"measures": measures_csv, "n_pairs": N_PAIRS, "encode_s": round(encode_s, 3)}
 
     if len(measures) == 1 and native_available():
         t0 = time.perf_counter()
