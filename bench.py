@@ -56,31 +56,54 @@ LAST = [
 
 def make_pairs(n: int, seed: int = SEED):
     """Genealogy-flavored name pairs, len ≤ 64: mostly short surnames, a tail
-    of long multi-token names, some equal pairs, some empties/nulls."""
+    of long multi-token names, some equal pairs, some empties/nulls.
+    Fully vectorized (numpy U-dtype string ops) — the Python-loop version
+    cost ~60 s per 5M rows and throttled the streaming benchmark's feed."""
     rng = np.random.default_rng(seed)
     first = rng.choice(FIRST, size=n)
     last = rng.choice(LAST, size=n)
     last2 = rng.choice(LAST, size=n)
     r = rng.random(n)
+    sub = rng.integers(0, 26, size=n)
+
+    # near-duplicate default: one substituted char in last2, vectorized via
+    # the UCS4 view of a fixed-width U array
+    w2 = int(np.char.str_len(last2).max())
+    codes = np.ascontiguousarray(last2.astype(f"<U{w2}")).view(np.uint32).reshape(n, w2)
+    lens2 = np.char.str_len(last2)
+    pos = (r * 100).astype(np.int64) % lens2
+    codes[np.arange(n), pos] = np.uint32(ord("a")) + sub.astype(np.uint32)
+    subbed = codes.view(f"<U{w2}").ravel()
+
+    is_long = r < 0.05
+    is_equal = (r >= 0.05) & (r < 0.15)
+    is_empty = (r >= 0.15) & (r < 0.17)
+
+    col_b_u = subbed.copy()
+    col_b_u[is_equal] = last[is_equal]  # widths match (both LAST picks)
+    col_b_u[is_empty] = ""
+    col_a_list = last.tolist()
+    col_b_list = col_b_u.tolist()
+
+    # long rows (full names, truncated to 64 like the original [:64]) —
+    # built only on the ~5% subset to keep wide U64 temps small
+    li = np.nonzero(is_long)[0]
+    if li.size:
+        sp = np.full(li.size, " ", dtype="<U1")
+        f2 = first[(li * 7) % n]
+        long_a = np.char.add(np.char.add(np.char.add(np.char.add(np.char.add(
+            np.char.add(first[li], sp), last[li]), sp), last2[li]), sp), f2
+        ).astype("<U64").tolist()
+        long_b = np.char.add(np.char.add(np.char.add(np.char.add(
+            first[li], sp), last2[li]), sp), last[li]).astype("<U64").tolist()
+        for k, i in enumerate(li):
+            col_a_list[i] = long_a[k]
+            col_b_list[i] = long_b[k]
+
     col_a = np.empty(n, dtype=object)
     col_b = np.empty(n, dtype=object)
-    letters = "abcdefghijklmnopqrstuvwxyz"
-    sub = rng.integers(0, 26, size=n)
-    for i in range(n):
-        a = last[i]
-        if r[i] < 0.05:  # long rows: full names, up to ~64 chars
-            a = f"{first[i]} {last[i]} {last2[i]} {first[(i * 7) % n]}"[:64]
-            b = f"{first[i]} {last2[i]} {last[i]}"[:64]
-        elif r[i] < 0.15:  # equal pair
-            b = a
-        elif r[i] < 0.17:  # empty side
-            b = ""
-        else:  # near-duplicate: one substituted char
-            bb = list(last2[i])
-            bb[int(r[i] * 100) % len(bb)] = letters[sub[i]]
-            b = "".join(bb)
-        col_a[i] = a
-        col_b[i] = b
+    col_a[:] = col_a_list
+    col_b[:] = col_b_list
     null_idx = rng.choice(n, size=n // 200, replace=False)
     for i in null_idx[: len(null_idx) // 2]:
         col_a[i] = None
