@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from strsim_tpu.ops.levenshtein_myers import _SCAN_UNROLL_MAX, small_width_loop
+
 Array = jax.Array
 
 
@@ -34,6 +36,12 @@ def multiset_intersection_loop(
         valid = i < len_a
         return inter + ((occ < cnt_b) & valid).astype(jnp.int32)
 
+    if L <= _SCAN_UNROLL_MAX:
+        # no while loop at small widths (see levenshtein_myers.small_width_loop):
+        # `valid` masks steps past each row's length, so this is bit-exact and
+        # avoids the while-loop's per-step fixed cost — which dominates here
+        # (the [L, B] compare-reduce per step is only ~3 us of lane work)
+        return small_width_loop(L, body, jnp.zeros((B,), jnp.int32))
     # dynamic trip count: steps beyond the block's longest a are no-ops
     i_max = jnp.clip(jnp.max(len_a), 0, L)
     return lax.fori_loop(0, i_max, body, jnp.zeros((B,), jnp.int32))
@@ -63,5 +71,7 @@ def bigram_intersection_loop(
         valid = i < (len_a - 1)
         return inter + ((occ < cnt_b) & valid).astype(jnp.int32)
 
+    if L - 1 <= _SCAN_UNROLL_MAX:
+        return small_width_loop(L - 1, body, jnp.zeros((B,), jnp.int32))
     i_max = jnp.clip(jnp.max(len_a) - 1, 0, L - 1)
     return lax.fori_loop(0, i_max, body, jnp.zeros((B,), jnp.int32))
