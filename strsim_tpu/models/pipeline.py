@@ -164,49 +164,52 @@ def compute_scores(
     Pass a utils.metrics.RunMetrics to collect occupancy/waste/phase timings.
     """
     from strsim_tpu.utils.metrics import timer
+    from strsim_tpu.utils.profiling import annotate
 
     cfg = config or get_config()
     measures = resolve_measures(measures)
     tm = timer()
     t_total = timer()
 
-    if isinstance(col_a, EncodedColumn) and isinstance(col_b, EncodedColumn):
-        a, b = col_a, col_b
-        if a.width != b.width:  # harmonize pre-encoded columns
-            w = max(a.width, b.width)
-            a = enc._repad(a, enc.PAD_A, w)
-            b = enc._repad(b, enc.PAD_B, w)
-    else:
-        a, b = enc.encode_pair(col_a, col_b)
-    a, b = _broadcast_pair(a, b)
+    with annotate("strsim.encode"):
+        if isinstance(col_a, EncodedColumn) and isinstance(col_b, EncodedColumn):
+            a, b = col_a, col_b
+            if a.width != b.width:  # harmonize pre-encoded columns
+                w = max(a.width, b.width)
+                a = enc._repad(a, enc.PAD_A, w)
+                b = enc._repad(b, enc.PAD_B, w)
+        else:
+            a, b = enc.encode_pair(col_a, col_b)
+        a, b = _broadcast_pair(a, b)
     n = a.n
     if metrics is not None:
         metrics.n_rows += n
         metrics.encode_wall_s += tm.lap()
 
-    validity = a.validity & b.validity
-    la = np.where(validity, a.lengths, 0).astype(np.int32)
-    lb = np.where(validity, b.lengths, 0).astype(np.int32)
+    with annotate("strsim.classify"):
+        validity = a.validity & b.validity
+        la = np.where(validity, a.lengths, 0).astype(np.int32)
+        lb = np.where(validity, b.lengths, 0).astype(np.int32)
 
-    out = {m: np.full(n, np.nan, dtype=np.float64) for m in measures}
+        out = {m: np.full(n, np.nan, dtype=np.float64) for m in measures}
 
-    both_empty = validity & (la == 0) & (lb == 0)
-    trivial = both_empty
-    if cfg.equal_fast_path and n:
-        equal = validity & enc.equal_rows(a, b)
-        trivial = trivial | equal
-    for m in measures:
-        out[m][trivial] = 1.0
+        both_empty = validity & (la == 0) & (lb == 0)
+        trivial = both_empty
+        if cfg.equal_fast_path and n:
+            equal = validity & enc.equal_rows(a, b)
+            trivial = trivial | equal
+        for m in measures:
+            out[m][trivial] = 1.0
 
-    work = validity & ~trivial
-    # one side empty: every measure is 0.0 except via levenshtein's formula,
-    # which also yields 0.0 here — resolve host-side, no kernel needed.
-    one_empty = work & ((la == 0) | (lb == 0))
-    for m in measures:
-        out[m][one_empty] = 0.0
-    work = work & ~one_empty
+        work = validity & ~trivial
+        # one side empty: every measure is 0.0 except via levenshtein's
+        # formula, which also yields 0.0 here — resolve host-side, no kernel.
+        one_empty = work & ((la == 0) | (lb == 0))
+        for m in measures:
+            out[m][one_empty] = 0.0
+        work = work & ~one_empty
 
-    idx = np.nonzero(work)[0]
+        idx = np.nonzero(work)[0]
     if metrics is not None:
         metrics.null_rows += int(n - int(validity.sum()))
         metrics.fast_path_rows += int(trivial.sum())
@@ -258,23 +261,25 @@ def compute_scores(
         # queues them; staging of later buckets overlaps compute of earlier
         # ones), then collect + finalize in order
         pending = []
-        for bucket_w in np.unique(bucket_of):
-            sel = idx[bucket_of == bucket_w]
-            if bucket_w < 0:
-                # beyond the largest bucket: exact host path (native C++)
-                _host_rows(out, measures, a, b, sel, cfg)
-                if metrics is not None:
-                    metrics.oracle_rows += int(sel.size)
-                    metrics.device_rows -= int(sel.size)
-                continue
-            pending.append(
-                _device_dispatch(
-                    measures, a, b, la, lb, sel, int(bucket_w), cfg, metrics,
-                    dtype=bucket_dtypes.get(int(bucket_w)),
+        with annotate("strsim.dispatch"):
+            for bucket_w in np.unique(bucket_of):
+                sel = idx[bucket_of == bucket_w]
+                if bucket_w < 0:
+                    # beyond the largest bucket: exact host path (native C++)
+                    _host_rows(out, measures, a, b, sel, cfg)
+                    if metrics is not None:
+                        metrics.oracle_rows += int(sel.size)
+                        metrics.device_rows -= int(sel.size)
+                    continue
+                pending.append(
+                    _device_dispatch(
+                        measures, a, b, la, lb, sel, int(bucket_w), cfg, metrics,
+                        dtype=bucket_dtypes.get(int(bucket_w)),
+                    )
                 )
-            )
-        for item in pending:
-            _device_collect(out, measures, item, cfg, metrics)
+        with annotate("strsim.collect_finalize"):
+            for item in pending:
+                _device_collect(out, measures, item, cfg, metrics)
 
     if metrics is not None:
         metrics.total_wall_s += t_total.lap()
