@@ -152,11 +152,6 @@ def measure_resident(a, b, measures):
     uniq_bucket = np.array([cfg.bucket_for(int(v)) for v in uniq], dtype=np.int64)
     bucket_of = uniq_bucket[np.searchsorted(uniq, maxlen)]
 
-    impls = (
-        ("levenshtein", cfg.levenshtein_impl),
-        ("jaro", cfg.jaro_impl),
-        ("multiset", cfg.multiset_impl),
-    )
     n_rows = 0
     device_s = 0.0
     bucket_times = {}
@@ -183,7 +178,7 @@ def measure_resident(a, b, measures):
         lens[: sel.size, 0] = la[sel]
         lens[: sel.size, 1] = lb[sel]
         C = n_pad // block
-        base = pp._get_kernel(measures, impls)
+        base = pp._get_kernel(measures, pp._impls_for(cfg, width))
         dev_codes = jnp.asarray(packed.reshape(C, block, 2 * width))
         dev_lens = jnp.asarray(lens.reshape(C, block, 2))
         t_block = marginal_block_time(base, dev_codes, dev_lens)

@@ -41,10 +41,13 @@ class StrsimConfig:
     #   jaro: "bitmask" (packed-flag greedy scan + loop-free transposition,
     #     production default; "xla" is an alias), "scan" (round-1 [L,B]-flag
     #     scan), "pallas".
-    #   multiset: "xla" (streaming L-step scan) or "table" ([L,L,B] compare).
+    #   multiset: "auto" (width-dependent, production default: streaming scan
+    #     at w<=15 and w>63, [L,L,B] compare table in between — the measured
+    #     winner per band, docs/ROOFLINE.md), "xla" (streaming L-step scan),
+    #     "table" ([L,L,B] compare).
     levenshtein_impl: str = "myers"
     jaro_impl: str = "bitmask"
-    multiset_impl: str = "xla"
+    multiset_impl: str = "auto"
 
     # Pallas grid block size (rows per grid step). Must be a multiple of 8.
     pallas_block_rows: int = 256

@@ -46,12 +46,32 @@ def _round_batch(n: int, cfg: StrsimConfig) -> int:
     return cfg.max_batch_block
 
 
+def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
+    """Resolve the effective multiset kernel for a bucket width. "auto"
+    (default) picks the measured winner on v5e (docs/ROOFLINE.md loop-
+    structure table): the streaming scan at w <= 15 and beyond w 63, the
+    fully-parallel [L, L, B] compare table for the 16..63 band (its memory
+    forces small blocks at larger widths, where the scan wins again)."""
+    impl = cfg.multiset_impl
+    if impl == "auto":
+        return "table" if 15 < width <= 63 else "xla"
+    return impl
+
+
+def _impls_for(cfg: StrsimConfig, width: int) -> Tuple[Tuple[str, str], ...]:
+    return (
+        ("levenshtein", cfg.levenshtein_impl),
+        ("jaro", cfg.jaro_impl),
+        ("multiset", _multiset_impl_for(cfg, width)),
+    )
+
+
 def _block_rows(width: int, cfg: StrsimConfig, measures: Tuple[str, ...]) -> int:
-    """Max rows per device call. The multiset kernel materializes [B, L, L]
-    compare tables; cap its footprint. Other kernels are [B, L]."""
+    """Max rows per device call. The multiset table kernel materializes
+    [B, L, L] compare tables; cap its footprint. Other kernels are [B, L]."""
     need_multiset = any("inter" in STAT_FIELDS[m] for m in measures)
     cap = cfg.max_batch_block
-    if need_multiset and cfg.multiset_impl == "table":
+    if need_multiset and _multiset_impl_for(cfg, width) == "table":
         # [B, L, L] compare tables: keep under ~16M elements. The default
         # streaming kernel has [L, B] state and needs no cap.
         cap = min(cap, max(cfg.min_batch, (1 << 24) // max(width * width, 1)))
@@ -403,14 +423,10 @@ def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
 
     cfg = cfg or get_config()
     measures = resolve_measures(measures)
-    impls = (
-        ("levenshtein", cfg.levenshtein_impl),
-        ("jaro", cfg.jaro_impl),
-        ("multiset", cfg.multiset_impl),
-    )
     for spec in widths_blocks_dtypes:
         width, block, dtype = spec[:3]
         chunks = spec[3] if len(spec) > 3 else 1
+        impls = _impls_for(cfg, width)
         kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg, chunks)
         prewarm(key, kernel, _abstract_args(block, width, dtype, chunks))
 
@@ -442,11 +458,7 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
 
     block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
     chunks = _chunks_for(sel.size, block)
-    impls = (
-        ("levenshtein", cfg.levenshtein_impl),
-        ("jaro", cfg.jaro_impl),
-        ("multiset", cfg.multiset_impl),
-    )
+    impls = _impls_for(cfg, width)
     kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
     tm = timer()
     if kernel is None:
