@@ -116,8 +116,9 @@ def config_skew(n_pairs: int, n_hosts: int = 4):
     )
     return {
         "n_hosts_simulated": n_hosts,
-        "scaling_efficiency_balanced": rep_b["scaling_efficiency"],
-        "scaling_efficiency_equal_split": rep_e["scaling_efficiency"],
+        "scaling_efficiency_model_balanced": rep_b["scaling_efficiency_model"],
+        "scaling_efficiency_model_equal_split": rep_e["scaling_efficiency_model"],
+        "measured_scaling_see": "MULTIHOST_MEASURED.json",
         "shard0": shard,
     }
 

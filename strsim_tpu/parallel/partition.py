@@ -95,5 +95,8 @@ def balance_report(costs: np.ndarray, parts: List[np.ndarray]) -> dict:
     return {
         "shard_loads": loads.tolist(),
         "imbalance": float(loads.max() / mean) if mean > 0 else 1.0,
-        "scaling_efficiency": float(mean / loads.max()) if loads.max() > 0 else 1.0,
+        # named *_model: this is the COST-MODEL's load-balance projection, not a
+        # measured wall-clock number — measured multi-process scaling lives in
+        # MULTIHOST_MEASURED.json (tools/bench_multihost.py)
+        "scaling_efficiency_model": float(mean / loads.max()) if loads.max() > 0 else 1.0,
     }

@@ -69,9 +69,9 @@ def test_cost_balanced_partition_beats_equal_split_on_skew():
     # every row assigned exactly once
     all_idx = np.sort(np.concatenate(balanced))
     np.testing.assert_array_equal(all_idx, np.arange(4000))
-    eff_balanced = part.balance_report(costs, balanced)["scaling_efficiency"]
+    eff_balanced = part.balance_report(costs, balanced)["scaling_efficiency_model"]
     equal = [np.arange(off, off + ln) for off, ln in part.split_offsets(4000, k)]
-    eff_equal = part.balance_report(costs, equal)["scaling_efficiency"]
+    eff_equal = part.balance_report(costs, equal)["scaling_efficiency_model"]
     assert eff_balanced >= 0.8
     assert eff_balanced >= eff_equal
 
