@@ -112,18 +112,6 @@ def make_pairs(n: int, seed: int = SEED):
     return col_a, col_b
 
 
-def _encoded_pair(n):
-    from strsim_tpu.utils import encode as enc
-
-    col_a, col_b = make_pairs(n)
-    a = enc.encode_column(col_a, pad=enc.PAD_A)
-    b = enc.encode_column(col_b, pad=enc.PAD_B)
-    w = max(a.width, b.width)
-    a = enc._repad(a, enc.PAD_A, w)
-    b = enc._repad(b, enc.PAD_B, w)
-    return a, b
-
-
 def measure_resident(a, b, measures):
     """Device-resident kernel throughput (pairs/sec/chip), measured so that
     the relay tunnel cannot distort it: per bucket, the real workload's
