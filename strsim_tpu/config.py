@@ -41,9 +41,10 @@ class StrsimConfig:
     #   jaro: "bitmask" (packed-flag greedy scan + loop-free transposition,
     #     production default; "xla" is an alias), "scan" (round-1 [L,B]-flag
     #     scan), "pallas".
-    #   multiset: "auto" (width-dependent, production default: streaming scan
-    #     at w<=15 and w>63, [L,L,B] compare table in between — the measured
-    #     winner per band, docs/ROOFLINE.md), "xla" (streaming L-step scan),
+    #   multiset: "auto" (production default → "chunked": G i-positions per
+    #     fused [G,L,B] compare-reduce step, G bucket-dependent — measured
+    #     fastest in every width band, tools/ab_multiset_chunked.py),
+    #     "chunked" explicit, "xla" (streaming 1-position-per-step scan),
     #     "table" ([L,L,B] compare).
     levenshtein_impl: str = "myers"
     jaro_impl: str = "bitmask"

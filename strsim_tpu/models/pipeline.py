@@ -48,13 +48,13 @@ def _round_batch(n: int, cfg: StrsimConfig) -> int:
 
 def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
     """Resolve the effective multiset kernel for a bucket width. "auto"
-    (default) picks the measured winner on v5e (docs/ROOFLINE.md loop-
-    structure table): the streaming scan at w <= 15 and beyond w 63, the
-    fully-parallel [L, L, B] compare table for the 16..63 band (its memory
-    forces small blocks at larger widths, where the scan wins again)."""
+    (default) is the chunked scan at every width — it measured fastest in
+    every band on v5e (tools/ab_multiset_chunked.py: w7 +25% over the 1-step
+    loop, w15 +8%, w31 +19% over the capped table, w63 +20%); its chunk
+    width G is bucket-dependent inside the kernel (ops/multiset_loop.py)."""
     impl = cfg.multiset_impl
     if impl == "auto":
-        return "table" if 15 < width <= 63 else "xla"
+        return "chunked"
     return impl
 
 
@@ -71,10 +71,15 @@ def _block_rows(width: int, cfg: StrsimConfig, measures: Tuple[str, ...]) -> int
     [B, L, L] compare tables; cap its footprint. Other kernels are [B, L]."""
     need_multiset = any("inter" in STAT_FIELDS[m] for m in measures)
     cap = cfg.max_batch_block
-    if need_multiset and _multiset_impl_for(cfg, width) == "table":
-        # [B, L, L] compare tables: keep under ~16M elements. The default
-        # streaming kernel has [L, B] state and needs no cap.
-        cap = min(cap, max(cfg.min_batch, (1 << 24) // max(width * width, 1)))
+    if need_multiset:
+        ms = _multiset_impl_for(cfg, width)
+        if ms == "table":
+            # [B, L, L] compare tables: keep under ~16M elements. The
+            # streaming kernels have [<=16, L, B] peak and need no cap here.
+            cap = min(cap, max(cfg.min_batch, (1 << 24) // max(width * width, 1)))
+        elif ms == "chunked" and width > 63:
+            # extend buckets: bound the [16, L, B] fused compare tensor
+            cap = min(cap, max(cfg.min_batch, (1 << 28) // max(16 * width, 1)))
     # keep to powers of two for a compact compile cache
     b = cfg.min_batch
     while b * 2 <= cap:

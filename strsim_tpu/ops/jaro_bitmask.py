@@ -62,7 +62,17 @@ def jaro_match_stats_bitmask(
     u32, i32 = jnp.uint32, jnp.int32
     aT, bT = a.T, b.T  # [L, B] batch-in-lanes
 
-    bound = (jnp.maximum(len_a, len_b) // 2 - 1).astype(i32)  # strsim.rs:200
+    # Sublane fold: scan state carried as [W, 8, B/8] so the minor two dims
+    # fill (8, 128) register tiles — with [W=1, B] state the size-1 dim lands
+    # on the 8-sublane axis and 7/8 of the VPU idles every step. Measured on
+    # v5e (tools/ab_jaro_sublane.py): +11%/+22%/+32% at w7/w15/w31. The
+    # loop-free transposition reduce keeps the [L, L, B] layout (full tiles).
+    S = 8 if B % 8 == 0 else 1
+    bshape = (B,) if S == 1 else (S, B // S)
+
+    la = len_a.reshape(bshape).astype(i32)
+    lb = len_b.reshape(bshape).astype(i32)
+    bound = jnp.maximum(la, lb) // 2 - 1  # strsim.rs:200
 
     # EqB[i, w] = bitmask over b-positions j in word w of (b_j == a_i).
     # Pads differ per side, so bits past either length are 0 automatically.
@@ -80,17 +90,17 @@ def jaro_match_stats_bitmask(
         jnp.where(eq4, bits[None, None, :, None], np.uint32(0)),
         axis=2,
         dtype=u32,
-    )  # [L_i, W, B]
+    ).reshape(L, W, *bshape)  # [L_i, W, *bshape]
 
     def body(i, state):
-        flagged, matched, m = state  # [W, B] u32, [W, B] u32, [B] i32
-        eqb = lax.dynamic_slice_in_dim(EqB, i, 1, axis=0)[0]  # [W, B]
+        flagged, matched, m = state  # [W,*bshape] u32 x2, [*bshape] i32
+        eqb = lax.dynamic_slice_in_dim(EqB, i, 1, axis=0)[0]  # [W, *bshape]
         # strsim.rs:208 iterates only the first len_b + bound chars of a
-        active = (i < len_a) & (i < len_b + bound)
-        lo = i - bound  # [B] i32 (may be negative)
-        hi = jnp.minimum(i + bound, len_b - 1)  # [B] i32
+        active = (i < la) & (i < lb + bound)
+        lo = i - bound  # i32 (may be negative)
+        hi = jnp.minimum(i + bound, lb - 1)  # i32
 
-        found = jnp.zeros((B,), bool)
+        found = jnp.zeros(bshape, bool)
         new_flagged = []
         for w in range(W):  # static unroll, low word -> high
             # window bits lo..hi restricted to word w
@@ -112,24 +122,27 @@ def jaro_match_stats_bitmask(
         if W == 1:
             matched = matched.at[0].set(matched[0] | setbit)
         else:
-            ww = jnp.arange(W, dtype=i32)[:, None]
-            matched = matched | jnp.where(ww == iw, setbit[None, :], np.uint32(0))
+            ww = jnp.arange(W, dtype=i32).reshape((W,) + (1,) * len(bshape))
+            matched = matched | jnp.where(ww == iw, setbit[None], np.uint32(0))
         m = m + found.astype(i32)
         return flagged, matched, m
 
     state0 = (
-        jnp.zeros((W, B), u32),
-        jnp.zeros((W, B), u32),
-        jnp.zeros((B,), i32),
+        jnp.zeros((W, *bshape), u32),
+        jnp.zeros((W, *bshape), u32),
+        jnp.zeros(bshape, i32),
     )
     # dynamic trip count (strsim.rs:208's take(len_b + bound), maxed over
     # rows). Static-unroll/scan variants were measured and REJECTED for this
     # kernel: w7 inline 0.47 vs 0.33 ms/block, w15 scan ~equal — the fori
     # loop is not the jaro scan's bottleneck (see docs/ROOFLINE.md).
-    i_max = jnp.clip(jnp.max(jnp.minimum(len_a, len_b + bound)), 0, L)
+    i_max = jnp.clip(jnp.max(jnp.minimum(la, lb + bound)), 0, L)
     flagged, matched, m = lax.fori_loop(0, i_max, body, state0)
 
-    t = _transposition_from_masks(aT, bT, matched, flagged)
+    m = m.reshape(B)
+    t = _transposition_from_masks(
+        aT, bT, matched.reshape(W, B), flagged.reshape(W, B)
+    )
 
     # len-1 vs len-1: direct char compare before any window math
     # (strsim.rs:197-199; bound = -1 makes the window empty above)

@@ -19,7 +19,12 @@ Why this is the right shape for TPU/XLA:
     O(L²·B), and it is plain VPU compare+select+add that XLA fuses.
 
 Batch-in-lanes layout as everywhere else: state is [W, B] with the batch on
-the 128-lane minor axis.
+the 128-lane minor axis. For looped widths (L > _STATIC_UNROLL_MAX) the batch
+is additionally folded into (8, B/8) so the loop state's minor two dims fill
+an (8, 128) register tile exactly — with [W=1, B] state the size-1 dim lands
+on the 8-sublane axis and 7/8 of the VPU idles every step (measured on v5e:
++42% at w15, +54% at w31, tools/ab_myers_sublane.py; at w7 the fully-inlined
+unpacked form measured faster, so S stays 1 there).
 
 Exactness: Myers' algorithm computes the same integer unit-cost distance as
 the classic DP (no floats anywhere); the host finalizer is unchanged, so
@@ -92,6 +97,12 @@ def levenshtein_distance_myers(
     u32 = jnp.uint32
     i32 = jnp.int32
 
+    # Sublane fold: looped widths carry state as [W, 8, B/8] so the minor two
+    # dims fill (8, 128) register tiles (see module docstring). S = 1 keeps
+    # the exact original [W, B] shapes (the measured winner at inline widths).
+    S = 8 if (L > _STATIC_UNROLL_MAX and B % 8 == 0) else 1
+    bshape = (B,) if S == 1 else (S, B // S)
+
     aT = a.T  # [L, B] batch-in-lanes
     bT = b.T
     if Lp > L:
@@ -109,26 +120,28 @@ def levenshtein_distance_myers(
         jnp.where(eq4, bits[None, None, :, None], np.uint32(0)),
         axis=2,
         dtype=u32,
-    )  # [L_j, W, B]
+    ).reshape(L, W, *bshape)  # [L_j, W, *bshape]
 
-    m1 = jnp.maximum(len_a - 1, 0)
-    hword = m1 // _WORD  # [B] word index holding bit m-1
-    hbit = (m1 % _WORD).astype(u32)  # [B] bit position within that word
+    la = len_a.reshape(bshape)
+    lb = len_b.reshape(bshape)
+    m1 = jnp.maximum(la - 1, 0)
+    hword = m1 // _WORD  # word index holding bit m-1
+    hbit = (m1 % _WORD).astype(u32)  # bit position within that word
 
-    pv0 = jnp.full((W, B), _ALL_ONES, dtype=u32)
-    mv0 = jnp.zeros((W, B), dtype=u32)
-    score0 = len_a.astype(i32)
+    pv0 = jnp.full((W, *bshape), _ALL_ONES, dtype=u32)
+    mv0 = jnp.zeros((W, *bshape), dtype=u32)
+    score0 = la.astype(i32)
 
     def body(j, state):
         pv, mv, score = state
-        eq = lax.dynamic_slice_in_dim(Eq, j, 1, axis=0)[0]  # [W, B]
-        active = j < len_b  # [B]
+        eq = lax.dynamic_slice_in_dim(Eq, j, 1, axis=0)[0]  # [W, *bshape]
+        active = j < lb
 
-        carry = jnp.zeros((B,), u32)  # addition carry, word w -> w+1
-        ph_in = jnp.ones((B,), u32)  # Ph shift-in (the "| 1" of Ph <<= 1)
-        mh_in = jnp.zeros((B,), u32)
-        ph_bit = jnp.zeros((B,), u32)
-        mh_bit = jnp.zeros((B,), u32)
+        carry = jnp.zeros(bshape, u32)  # addition carry, word w -> w+1
+        ph_in = jnp.ones(bshape, u32)  # Ph shift-in (the "| 1" of Ph <<= 1)
+        mh_in = jnp.zeros(bshape, u32)
+        ph_bit = jnp.zeros(bshape, u32)
+        mh_bit = jnp.zeros(bshape, u32)
         new_pv = []
         new_mv = []
         for w in range(W):  # static unroll; carries flow low word -> high
@@ -164,7 +177,7 @@ def levenshtein_distance_myers(
         score = score + jnp.where(active, delta, 0)
         pv_n = jnp.stack(new_pv)
         mv_n = jnp.stack(new_mv)
-        act = active[None, :]
+        act = active[None]
         return (
             jnp.where(act, pv_n, pv),
             jnp.where(act, mv_n, mv),
@@ -181,6 +194,6 @@ def levenshtein_distance_myers(
     else:
         # dynamic trip count: with length-sorted blocks each block pays only
         # its true max text length, not the padded bucket width
-        n_max = jnp.clip(jnp.max(len_b), 0, L)
+        n_max = jnp.clip(jnp.max(lb), 0, L)
         _, _, score = lax.fori_loop(0, n_max, body, (pv0, mv0, score0))
-    return score.astype(i32)
+    return score.astype(i32).reshape(B)

@@ -1,12 +1,23 @@
-"""Streaming multiset-intersection kernel.
+"""Streaming multiset-intersection kernels.
 
 Same occurrence-rank identity as stats.multiset_intersection but evaluated as
-an L-step scan with [L, B] working state instead of one [L, L, B] compare
-table: per step i it counts matches of a_i in b and prior occurrences of a_i
-in a, then accumulates 1[occ < cnt_b]. Total work is the same 2·L²·B lane
-ops, but peak memory is L·B — so multiset blocks can be as large as the
-levenshtein/jaro blocks and the per-call dispatch overhead amortizes over
+a scan with [·, B] working state instead of one [L, L, B] compare table: per
+step it counts matches of a_i in b and prior occurrences of a_i in a, then
+accumulates 1[occ < cnt_b]. Total work is the same 2·L²·B lane ops, but peak
+memory stays far below the full table — so multiset blocks can be as large as
+the levenshtein/jaro blocks and the per-call dispatch overhead amortizes over
 256k-row batches (the [L, L, B] variant forces 4k-row blocks at L = 64).
+
+Two granularities:
+  * multiset_intersection_loop — one i-position per step ([L, B] state), the
+    round-2 default until the chunked variant was measured;
+  * multiset_intersection_chunked — PRODUCTION: G i-positions per step as one
+    fused [G, L, B] compare-reduce, statically inlined for L <= 63 (L/G steps,
+    indices constant-fold) and a dynamic chunk loop beyond. Amortizes the
+    scan's per-step fixed cost G-fold. Measured on v5e 262144-row blocks
+    (tools/ab_multiset_chunked.py): w7 1836 vs 1464 M pairs/s (+25% over the
+    1-step loop), w15 1251 vs 1156 (+8%), w31 433 vs ~364 (the capped table),
+    w63 109 vs 91 (table) / 71 (loop).
 """
 from __future__ import annotations
 
@@ -15,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from strsim_tpu.ops.levenshtein_myers import _SCAN_UNROLL_MAX, small_width_loop
+from strsim_tpu.utils.encode import PAD_A
 
 Array = jax.Array
 
@@ -45,6 +57,58 @@ def multiset_intersection_loop(
     # dynamic trip count: steps beyond the block's longest a are no-ops
     i_max = jnp.clip(jnp.max(len_a), 0, L)
     return lax.fori_loop(0, i_max, body, jnp.zeros((B,), jnp.int32))
+
+
+def _chunk_for(L: int) -> int:
+    """Measured-winner chunk width per bucket band (docstring table)."""
+    if L <= 8:
+        return 4
+    if L <= 16:
+        return 8
+    return 16
+
+
+def multiset_intersection_chunked(
+    a: Array, b: Array, len_a: Array, len_b: Array
+) -> Array:
+    """Σ_c min(cnt_a(c), cnt_b(c)) per row; [R, L] padded tiles in, [R] out.
+    G i-positions per step as one fused [G, L, B] compare-reduce."""
+    del len_b  # pads encode b's validity
+    B, L = a.shape
+    G = min(_chunk_for(L), L)
+    aT = a.T  # [L, B]
+    bT = b.T
+    steps = -(-L // G)
+    Lp = steps * G
+    aTp = aT
+    if Lp > L:
+        aTp = jnp.concatenate(
+            [aT, jnp.full((Lp - L, B), PAD_A, dtype=aT.dtype)], axis=0
+        )
+    kk = jnp.arange(L, dtype=jnp.int32)  # positions k in a
+    g = jnp.arange(G, dtype=jnp.int32)
+
+    def chunk(i0, inter):
+        ai = lax.dynamic_slice_in_dim(aTp, i0, G, axis=0)  # [G, B]
+        iv = i0 + g  # [G] chunk's i-positions (static or traced)
+        cnt_b = jnp.sum(ai[:, None, :] == bT[None, :, :], axis=1)  # [G, B]
+        before = (kk[None, :] < iv[:, None])[:, :, None]  # [G, L, 1]
+        occ = jnp.sum((ai[:, None, :] == aT[None, :, :]) & before, axis=1)
+        valid = iv[:, None] < len_a[None, :]  # [G, B]
+        return inter + jnp.sum((occ < cnt_b) & valid, axis=0, dtype=jnp.int32)
+
+    inter0 = jnp.zeros((B,), jnp.int32)
+    if L <= 63:
+        inter = inter0
+        for s in range(steps):  # static inline; indices constant-fold
+            inter = chunk(s * G, inter)
+        return inter
+    # wide/extend buckets: dynamic trip count over chunks — steps past the
+    # block's longest a are no-ops (blocks are length-sorted)
+    s_max = (jnp.clip(jnp.max(len_a), 0, L) + G - 1) // G
+    return lax.fori_loop(
+        0, s_max, lambda s, acc: chunk(s * G, acc), inter0
+    )
 
 
 def bigram_intersection_loop(

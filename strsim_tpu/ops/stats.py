@@ -339,12 +339,19 @@ def compute_stats(
     if "prefix" in need:
         out["prefix"] = shared_prefix_length(a, b)
     if "inter" in need:
-        if impl.get("multiset") == "table":
+        ms_impl = impl.get("multiset", "chunked")
+        if ms_impl == "table":
             out["inter"] = multiset_intersection(a, b, len_a, len_b)
-        else:  # default: streaming L-step scan, [L, B] peak memory
+        elif ms_impl == "xla":  # streaming 1-position-per-step scan
             from strsim_tpu.ops.multiset_loop import multiset_intersection_loop
 
             out["inter"] = multiset_intersection_loop(a, b, len_a, len_b)
+        else:  # "chunked" (default): G positions per fused compare-reduce
+            from strsim_tpu.ops.multiset_loop import (
+                multiset_intersection_chunked,
+            )
+
+            out["inter"] = multiset_intersection_chunked(a, b, len_a, len_b)
     if "inter2" in need:
         from strsim_tpu.ops.multiset_loop import bigram_intersection_loop
 

@@ -61,7 +61,8 @@ def test_all_implementations_agree(corpus, measure):
 @pytest.mark.parametrize(
     "lev,jaro,multiset",
     [
-        ("myers", "bitmask", "xla"),  # round-2 production defaults
+        ("myers", "bitmask", "chunked"),  # production defaults (sublane-packed)
+        ("myers", "bitmask", "xla"),  # 1-position-per-step multiset scan
         ("wavefront", "scan", "table"),  # round-1 kernels stay locked
     ],
 )

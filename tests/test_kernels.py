@@ -140,6 +140,57 @@ def test_multiset_table_impl_via_config():
     assert got.tobytes() == want.tobytes()
 
 
+def test_multiset_chunked_kernel_fuzz(fuzz_pairs):
+    from strsim_tpu.ops.multiset_loop import multiset_intersection_chunked
+
+    pairs = _nonempty(fuzz_pairs)
+    ca, cb, la, lb = _tiles(pairs)
+    inter = np.asarray(multiset_intersection_chunked(ca, cb, la, lb))
+    want = np.array([oracle.multiset_intersection(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(inter, want)
+
+
+def test_multiset_chunked_wide_dynamic_path():
+    """Width > 63 exercises the chunked kernel's dynamic chunk loop."""
+    from strsim_tpu.ops.multiset_loop import multiset_intersection_chunked
+
+    rng = random.Random(20260818)
+    pairs = _nonempty(_rand_pairs(rng, 64, 100, "abcd"))
+    ca, cb, la, lb = _tiles(pairs, width=127)
+    inter = np.asarray(multiset_intersection_chunked(ca, cb, la, lb))
+    want = np.array([oracle.multiset_intersection(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(inter, want)
+
+
+@pytest.mark.parametrize("batch", [7, 8, 12, 520])
+def test_sublane_fold_any_batch_size(batch):
+    """The sublane-packed Myers/jaro kernels must stay exact for batches not
+    divisible by 8 (S falls back to 1) and for folded batches alike."""
+    from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+    from strsim_tpu.ops.levenshtein_myers import levenshtein_distance_myers
+
+    rng = random.Random(batch)
+    pairs = _nonempty(_rand_pairs(rng, batch, 14, "abcde"))[:batch]
+    while len(pairs) < batch:
+        pairs.append(("x", "xy"))
+    ca, cb, la, lb = _tiles(pairs, width=15)
+    d = np.asarray(levenshtein_distance_myers(ca, cb, la, lb))
+    np.testing.assert_array_equal(
+        d, np.array([oracle.levenshtein_distance(a, b) for a, b in pairs])
+    )
+    m, t = (np.asarray(x) for x in jaro_match_stats_bitmask(ca, cb, la, lb))
+    want = [oracle.jaro_stats(a, b) for a, b in pairs]
+    one_one = [(len(a) == 1 and len(b) == 1) for a, b in pairs]
+    want_m = [
+        (1 if a == b else 0) if oo else w[0]
+        for (a, b), oo, w in zip(pairs, one_one, want)
+    ]
+    np.testing.assert_array_equal(m, np.array(want_m))
+    np.testing.assert_array_equal(
+        t, np.array([0 if oo else w[1] for oo, w in zip(one_one, want)])
+    )
+
+
 def test_jaro_adversarial_transpositions():
     """Heavy-repeat and alternating strings stress the greedy window +
     rank-match transposition count."""
