@@ -1,15 +1,30 @@
-"""A/B: Pallas (Mosaic) Myers levenshtein vs the XLA sublane-packed kernel.
+"""A/B: Pallas (Mosaic) Myers levenshtein scan vs the XLA sublane-packed kernel.
 
-Round-1/2 found the in-tree wavefront Pallas kernel SIGABRTs the terminal-
-side Mosaic compiler; a trivial Pallas kernel now compiles in this
-environment, so this probes whether a SIMPLER kernel body — the W=1 Myers
-scan: pure elementwise u32 ops, one dynamic slice per step, no concats —
-gets through Mosaic and whether VMEM-resident loop state beats XLA's
-while-loop carry.
+Bisect findings on this environment's terminal-side Mosaic compiler
+(tools-level probes, 2026-08-18):
+  * OK: u32 elementwise + bitcast, per-lane variable shifts, fori_loop with
+    multi-tensor carry, rank-3 VMEM blocks, dynamic slices, iota/where/
+    reduce — i.e. the entire Myers scan body;
+  * FAIL (HTTP 500 / exit 1): **int8 VMEM blocks** (the original in-kernel
+    Eq build from raw char tiles), and u32 reductions.
 
-Layout: batch folded to (8, BR/8) minor dims (the proven sublane fix);
-Eq precomputed IN-KERNEL from the raw char tiles (less HBM traffic than
-feeding a precomputed [L, B] u32 Eq).
+So this probe feeds a PRECOMPUTED Eq (built by XLA outside the kernel — a
+fully parallel fused compare/select/reduce, no loop carry) and keeps only
+the sequential scan inside Pallas, where pv/mv/score live in VMEM for the
+whole loop instead of bouncing through HBM each step (the measured XLA
+while-loop cost: ~3x1 MB of carry r+w per step).
+
+Measured on v5e (2026-08-18), bit-exact vs the XLA kernel at every point:
+
+    w  7 pallas/br8192  1645.9 M pairs/s   xla-myers8 1353.4 M   (+22%)
+    w 15 pallas/br8192  1029.3 M pairs/s   xla-myers8 1065.6 M   (-3%)
+    w 31 pallas/br8192   546.7 M pairs/s   xla-myers8  541.6 M   (+1%)
+
+Conclusion: XLA's while-loop carry is NOT the HBM bottleneck it was modeled
+to be at these shapes — XLA keeps the sublane-packed carry effectively
+resident. Pallas wins only where per-step loop overhead dominates (w=7,
+fewest steps x smallest state); br=8192 is the best grid block at all
+widths.
 
 Usage: timeout 1800 python tools/ab_myers_pallas.py [widths...]
 """
@@ -36,32 +51,24 @@ SUB = 8
 _WORD = 32
 
 
-def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
-    # a_ref: [32, 8, BR8] int8 (pattern, padded to 32); b_ref: [L, 8, BR8]
-    # la/lb/out: [8, 8, BR8]-compatible? no: [8, BR8] i32 each... Mosaic block
-    # rank-2 for scalars-per-lane.
+def _scan_kernel(eq_ref, la_ref, lb_ref, out_ref, *, L: int):
+    """eq_ref: [1, L, 8, BR8] i32 (bit j of row word = a_i == b_j, bitcast);
+    la/lb: [1, 8, BR8] i32; out: [1, 8, BR8] i32 distances."""
     u32, i32 = jnp.uint32, jnp.int32
-    a = a_ref[0]  # [32, 8, BR8]
-    la = la_ref[0]  # [8, BR8]
+    la = la_ref[0]
     lb = lb_ref[0]
-
     shape = la.shape
-    bits = jax.lax.broadcasted_iota(u32, a.shape, 0)  # word-bit index per row
-    weight = (np.uint32(1) << bits).astype(u32)
 
     m1 = jnp.maximum(la - 1, 0)
     hbit = (m1 % _WORD).astype(u32)
 
-    pv = jnp.full(shape, np.uint32(0xFFFFFFFF), u32)
-    mv = jnp.zeros(shape, u32)
-    score = la.astype(i32)
+    pv0 = jnp.full(shape, np.uint32(0xFFFFFFFF), u32)
+    mv0 = jnp.zeros(shape, u32)
+    score0 = la.astype(i32)
 
     def body(j, state):
         pv, mv, score = state
-        b_j = b_ref[0, pl.ds(j, 1)]  # [1, 8, BR8] int8
-        eq = jnp.sum(
-            jnp.where(a == b_j, weight, np.uint32(0)), axis=0, dtype=u32
-        )  # [8, BR8]
+        eq = lax.bitcast_convert_type(eq_ref[0, pl.ds(j, 1)][0], u32)
         active = j < lb
 
         x = eq & pv
@@ -85,40 +92,57 @@ def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
             score,
         )
 
-    _, _, score = lax.fori_loop(0, L, body, (pv, mv, score))
+    _, _, score = lax.fori_loop(0, L, body, (pv0, mv0, score0))
     out_ref[0] = score
 
 
 def levenshtein_myers_pallas(a, b, len_a, len_b, *, block_rows=8192):
+    """W=1 (L <= 32) Myers with the sequential scan in a Pallas kernel."""
     B, L = a.shape
     assert L <= _WORD, "W=1 specialization"
     BR = min(block_rows, B)
     assert B % BR == 0 and BR % SUB == 0
     BR8 = BR // SUB
     G = B // BR
+    u32, i32 = jnp.uint32, jnp.int32
 
-    aT = a.T  # [L, B]
-    bT = b.T
-    aTp = jnp.concatenate(
-        [aT, jnp.full((_WORD - L, B), PAD_A, dtype=aT.dtype)], axis=0
-    ) if L < _WORD else aT
-    a3 = aTp.reshape(_WORD, G, SUB, BR8).transpose(1, 0, 2, 3)  # [G,32,8,BR8]
-    b3 = bT.reshape(L, G, SUB, BR8).transpose(1, 0, 2, 3)  # [G,L,8,BR8]
-    la3 = len_a.astype(jnp.int32).reshape(G, SUB, BR8)
-    lb3 = len_b.astype(jnp.int32).reshape(G, SUB, BR8)
+    aT, bT = a.T, b.T
+    aTp = (
+        jnp.concatenate(
+            [aT, jnp.full((_WORD - L, B), PAD_A, dtype=aT.dtype)], axis=0
+        )
+        if L < _WORD
+        else aT
+    )
+    # XLA-side Eq build (fused compare/select/reduce, fully parallel)
+    bits = np.uint32(1) << jnp.arange(_WORD, dtype=u32)
+    eq4 = aTp.reshape(1, _WORD, B) == bT[:, None, :]
+    Eq = jnp.sum(
+        jnp.where(eq4, bits[None, :, None], np.uint32(0)), axis=1, dtype=u32
+    )  # [L, B]
+    Eq3 = (
+        lax.bitcast_convert_type(Eq, i32)
+        .reshape(L, G, SUB, BR8)
+        .transpose(1, 0, 2, 3)
+    )  # [G, L, 8, BR8]
+    la3 = len_a.astype(i32).reshape(G, SUB, BR8)
+    lb3 = len_b.astype(i32).reshape(G, SUB, BR8)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, L=L),
-        out_shape=jax.ShapeDtypeStruct((G, SUB, BR8), jnp.int32),
+        functools.partial(_scan_kernel, L=L),
+        out_shape=jax.ShapeDtypeStruct((G, SUB, BR8), i32),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, _WORD, SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, L, SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-    )(a3, b3, la3, lb3)
+        out_specs=pl.BlockSpec(
+            (1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(Eq3, la3, lb3)
     return out.reshape(B)
 
 
@@ -149,7 +173,7 @@ def main():
         lens3 = jnp.asarray(lens[None])
         base = wrap(levenshtein_distance_myers, width)
         r0 = np.asarray(jax.jit(base)(codes3[0], lens3[0]))
-        for br in (2048, 8192, 32768):
+        for br in (8192, 32768, 262144):
             try:
                 pk = wrap(levenshtein_myers_pallas, width, block_rows=br)
                 r1 = np.asarray(jax.jit(pk)(codes3[0], lens3[0]))
@@ -161,7 +185,8 @@ def main():
                     flush=True,
                 )
             except Exception as e:  # noqa: BLE001
-                print(f"w{width:3d} pallas/br{br}: FAIL {type(e).__name__}: {str(e)[:200]}", flush=True)
+                msg = str(e).replace("\n", " ")[:160]
+                print(f"w{width:3d} pallas/br{br}: FAIL {type(e).__name__}: {msg}", flush=True)
         t = marginal_block_time(base, codes3, lens3)
         print(
             f"w{width:3d} xla-myers8   : {t*1000:8.4f} ms/block "
