@@ -36,8 +36,13 @@ class StrsimConfig:
     max_batch_block: int = 262144
 
     # Kernel implementation per measure family.
-    #   levenshtein: "myers" (bit-parallel column DP, production default; "xla"
-    #     is an alias), "wavefront" (round-1 anti-diagonal DP), "pallas".
+    #   levenshtein: "auto" (production default — "pallas_scan" on TPU at
+    #     widths <= 31, "myers" otherwise), "myers" (bit-parallel column DP;
+    #     "xla" is an alias), "pallas_scan" (VMEM-resident Myers scan with
+    #     in-kernel Eq, ops/levenshtein_pallas_scan.py — measured +18..37%
+    #     over "myers" on v5e, tools/ab_myers_pallas.py), "wavefront"
+    #     (round-1 anti-diagonal DP), "pallas" (round-1 experimental
+    #     wavefront, interpret-only).
     #   jaro: "bitmask" (packed-flag greedy scan + loop-free transposition,
     #     production default; "xla" is an alias), "scan" (round-1 [L,B]-flag
     #     scan), "pallas".
@@ -46,7 +51,7 @@ class StrsimConfig:
     #     fastest in every width band, tools/ab_multiset_chunked.py),
     #     "chunked" explicit, "xla" (streaming 1-position-per-step scan),
     #     "table" ([L,L,B] compare).
-    levenshtein_impl: str = "myers"
+    levenshtein_impl: str = "auto"
     jaro_impl: str = "bitmask"
     multiset_impl: str = "auto"
 

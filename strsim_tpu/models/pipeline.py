@@ -58,9 +58,25 @@ def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
     return impl
 
 
+def _lev_impl_for(cfg: StrsimConfig, width: int) -> str:
+    """Resolve the effective levenshtein kernel for a bucket width. "auto"
+    (default) picks the Pallas VMEM-resident Myers scan on TPU for the W=1
+    widths (<= 31) — measured +37%/+21%/+18% at w7/w15/w31 over the XLA
+    kernel on v5e (tools/ab_myers_pallas.py) — and the XLA bit-parallel
+    kernel everywhere else (wider buckets, non-TPU backends)."""
+    impl = cfg.levenshtein_impl
+    if impl == "auto":
+        from strsim_tpu.ops.levenshtein_pallas_scan import supports_width
+
+        if supports_width(width) and jax.default_backend() == "tpu":
+            return "pallas_scan"
+        return "myers"
+    return impl
+
+
 def _impls_for(cfg: StrsimConfig, width: int) -> Tuple[Tuple[str, str], ...]:
     return (
-        ("levenshtein", cfg.levenshtein_impl),
+        ("levenshtein", _lev_impl_for(cfg, width)),
         ("jaro", cfg.jaro_impl),
         ("multiset", _multiset_impl_for(cfg, width)),
     )
@@ -464,7 +480,24 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
     block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
     chunks = _chunks_for(sel.size, block)
     impls = _impls_for(cfg, width)
-    kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
+    try:
+        kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
+    except Exception:
+        # compile ERROR (e.g. a flaky terminal-side Mosaic service for the
+        # pallas kernels) — distinct from a deadline miss; degrade below
+        kernel = None
+    if kernel is None and any(v == "pallas_scan" for _, v in impls):
+        # Pallas kernel unavailable: same-contract XLA kernel before giving
+        # up on the device (host fallback is exact but far slower)
+        impls = tuple(
+            (k, "myers" if v == "pallas_scan" else v) for k, v in impls
+        )
+        try:
+            kernel = _compiled_kernel(
+                measures, impls, block, width, dtype, cfg, chunks
+            )
+        except Exception:
+            kernel = None
     tm = timer()
     if kernel is None:
         # compile deadline exceeded — exact host fallback for this bucket

@@ -1,0 +1,190 @@
+"""Pallas (Mosaic) bit-parallel Levenshtein scan — W = 1 production kernel.
+
+Reference semantics: unit-cost edit distance per row pair
+(src/expressions/strsim.rs:146-160), identical integer contract to
+ops.levenshtein_myers.levenshtein_distance_myers. This module is the
+TPU-kernel formulation of the same Myers/Hyyrö column DP for patterns that
+fit ONE machine word (len_a <= 32 — every standard bucket up to width 31):
+
+  * the whole kernel is one VMEM-resident program: the Eq bitmask build
+    (pattern char i == text char j, bit i of word Eq_j) happens INSIDE the
+    kernel from i32 char tiles, so the [L, B] Eq tensor never exists in HBM
+    (the XLA kernel materializes it between the parallel precompute and the
+    sequential while-loop);
+  * the scan over text positions is fully unrolled — L is static per bucket
+    — so there is no loop machinery at all: Mosaic sees one straight-line
+    body of ~L*(32 compare+select+or) + ~L*18 word ops with pv/mv/score
+    pinned in vector registers/VMEM for the whole program;
+  * batch is folded to [8, BR/8] minor dims so every op fills (8, 128)
+    register tiles (the sublane fix measured in tools/ab_myers_sublane.py).
+
+Measured on v5e (tools/ab_myers_pallas.py, 262144-row blocks, bit-exact vs
+the XLA kernel at every point): w7 1706 vs 1247 M pairs/s (+37%), w15 1170
+vs 970 (+21%), w31 612 vs 521 (+18%). Grid block BR = 8192 rows is the
+winner at all widths.
+
+Environment note: the terminal-side Mosaic compiler in this sandbox rejects
+int8 VMEM blocks and u32 reductions (HTTP 500) — hence i32 char tiles and an
+i32 Eq accumulate bitcast to u32. Off-TPU backends run the identical kernel
+via the Pallas interpreter (exactness tests use this); the pipeline only
+selects this kernel on TPU.
+
+Exactness: integer Myers recurrence, identical active-step masking
+(`j < len_b`) to the XLA kernel; rows with an empty side return len_a,
+ignored by the host finalizer (ops/finalize.py) exactly as the XLA kernel's
+contract states.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from strsim_tpu.utils.encode import PAD_A
+
+Array = jax.Array
+
+_WORD = 32
+_SUB = 8  # sublane fold
+_ALL_ONES = np.uint32(0xFFFFFFFF)
+DEFAULT_BLOCK_ROWS = 8192
+
+
+def supports_width(L: int) -> bool:
+    """True iff the W=1 specialization covers padded width L."""
+    return L <= _WORD
+
+
+def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
+    """a_ref: [1, 32, 8, BR8] i32 pattern chars (PAD_A past len and to 32
+    rows); b_ref: [1, L, 8, BR8] i32 text chars; la/lb/out: [1, 8, BR8] i32.
+    """
+    u32, i32 = jnp.uint32, jnp.int32
+    la = la_ref[0]
+    lb = lb_ref[0]
+
+    m1 = jnp.maximum(la - 1, 0)
+    hbit = (m1 % _WORD).astype(u32)  # bit m-1 (W = 1: always word 0)
+
+    pv = jnp.full(la.shape, _ALL_ONES, u32)
+    mv = jnp.zeros(la.shape, u32)
+    score = la.astype(i32)
+
+    a_rows = [a_ref[0, i] for i in range(_WORD)]
+    for j in range(L):  # static unroll: L is the bucket width
+        b_j = b_ref[0, j]
+        # Eq_j bit i = (a_i == b_j); PAD_A never equals any text char, so
+        # bits at i >= len_a are 0 with no masking. i32 accumulate (Mosaic
+        # has no u32 reduce), bitcast after — bit patterns are identical.
+        eq_i = jnp.zeros(la.shape, i32)
+        for i in range(_WORD):
+            w = np.int32(np.uint32(1) << np.uint32(i))
+            eq_i = eq_i | jnp.where(a_rows[i] == b_j, w, np.int32(0))
+        eq = lax.bitcast_convert_type(eq_i, u32)
+        active = j < lb
+
+        # one Myers step (identical recurrence to levenshtein_myers.body)
+        x = eq & pv
+        s1 = x + pv
+        xh = (s1 ^ pv) | eq
+        xv = eq | mv
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        ph_bit = (ph >> hbit) & 1
+        mh_bit = (mh >> hbit) & 1
+        ph_s = (ph << 1) | np.uint32(1)
+        mh_s = mh << 1
+        pv_n = mh_s | ~(xv | ph_s)
+        mv_n = ph_s & xv
+
+        delta = ph_bit.astype(i32) - mh_bit.astype(i32)
+        score = score + jnp.where(active, delta, 0)
+        pv = jnp.where(active, pv_n, pv)
+        mv = jnp.where(active, mv_n, mv)
+
+    out_ref[0] = score
+
+
+def _block_rows_for(B: int, block_rows: int) -> int:
+    br = min(block_rows, B)
+    while B % br:
+        br //= 2
+    return br
+
+
+def levenshtein_distance_myers_pallas(
+    a: Array,
+    b: Array,
+    len_a: Array,
+    len_b: Array,
+    *,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: bool | None = None,
+) -> Array:
+    """Unit-cost edit distance per row pair; Pallas W=1 Myers scan.
+
+    a, b: [B, L] padded codepoint tiles (PAD_A / PAD_B past each length),
+    any integer dtype; L must satisfy supports_width. len_a, len_b: [B]
+    int32. Returns [B] int32 distances (valid where both lengths >= 1, as
+    the XLA kernel). interpret=None auto-selects the Pallas interpreter on
+    non-TPU backends.
+    """
+    B, L = a.shape
+    if not supports_width(L):
+        raise ValueError(f"pallas_scan kernel requires width <= {_WORD}, got {L}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    i32 = jnp.int32
+
+    pad_rows = 0
+    if B % _SUB:
+        pad_rows = _SUB - B % _SUB
+        zi = jnp.zeros((pad_rows,), len_a.dtype)
+        a = jnp.concatenate([a, jnp.full((pad_rows, L), PAD_A, a.dtype)], axis=0)
+        b = jnp.concatenate([b, jnp.full((pad_rows, L), PAD_A, b.dtype)], axis=0)
+        len_a = jnp.concatenate([len_a, zi])
+        len_b = jnp.concatenate([len_b, zi])
+        B = B + pad_rows
+
+    BR = _block_rows_for(B, block_rows)
+    BR8 = BR // _SUB
+    G = B // BR
+
+    aT = a.T.astype(i32)  # [L, B] batch-in-lanes, i32 (Mosaic: no int8 blocks)
+    bT = b.T.astype(i32)
+    if L < _WORD:
+        aT = jnp.concatenate(
+            [aT, jnp.full((_WORD - L, B), PAD_A, dtype=i32)], axis=0
+        )
+    a4 = aT.reshape(_WORD, G, _SUB, BR8).transpose(1, 0, 2, 3)
+    b4 = bT.reshape(L, G, _SUB, BR8).transpose(1, 0, 2, 3)
+    la3 = len_a.astype(i32).reshape(G, _SUB, BR8)
+    lb3 = len_b.astype(i32).reshape(G, _SUB, BR8)
+
+    def tile_spec(rows):
+        return pl.BlockSpec(
+            (1, rows, _SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    row_spec = pl.BlockSpec(
+        (1, _SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, L=L),
+        out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
+        grid=(G,),
+        in_specs=[tile_spec(_WORD), tile_spec(L), row_spec, row_spec],
+        out_specs=row_spec,
+        interpret=interpret,
+    )(a4, b4, la3, lb3)
+    out = out.reshape(B)
+    if pad_rows:
+        out = out[: B - pad_rows]
+    return out

@@ -314,7 +314,22 @@ def compute_stats(
     out: Dict[str, Array] = {}
     if "lev_d" in need:
         lev_impl = impl.get("levenshtein", "myers")
-        if lev_impl == "pallas":
+        if lev_impl == "pallas_scan":
+            from strsim_tpu.ops import levenshtein_pallas_scan as lps
+
+            if not lps.supports_width(a.shape[1]):
+                # forced selection on a wider-than-W=1 bucket: same-contract
+                # XLA kernel (pipeline "auto" never routes such widths here)
+                from strsim_tpu.ops.levenshtein_myers import (
+                    levenshtein_distance_myers,
+                )
+
+                out["lev_d"] = levenshtein_distance_myers(a, b, len_a, len_b)
+            else:
+                out["lev_d"] = lps.levenshtein_distance_myers_pallas(
+                    a, b, len_a, len_b
+                )
+        elif lev_impl == "pallas":
             from strsim_tpu.ops.levenshtein_pallas import levenshtein_distance_pallas
 
             out["lev_d"] = levenshtein_distance_pallas(a, b, len_a, len_b)

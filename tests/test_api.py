@@ -186,3 +186,40 @@ def test_host_short_circuit_skips_device():
         assert vals[4] == 1.0
         for i in range(3):
             assert vals[i] == ORACLES[measure](col_a[i], col_b[i])
+
+
+def test_pallas_compile_error_degrades_to_xla_kernel(monkeypatch):
+    """A pallas_scan compile ERROR (flaky Mosaic service) must degrade to the
+    same-contract XLA kernel on-device, not fail and not lose exactness."""
+    from strsim_tpu.models import pipeline as pp
+
+    real = pp._compiled_kernel
+    seen = []
+
+    def flaky(measures, impls, *args, **kw):
+        if any(v == "pallas_scan" for _, v in impls):
+            seen.append("pallas_raise")
+            raise RuntimeError("Mosaic HTTP 500 (simulated)")
+        seen.append(dict(impls)["levenshtein"])
+        return real(measures, impls, *args, **kw)
+
+    monkeypatch.setattr(pp, "_compiled_kernel", flaky)
+    cfg = st.get_config().replace(
+        levenshtein_impl="pallas_scan", host_short_circuit_rows=0
+    )
+    col_a = ["phillips", "kitten", "abc"] * 8
+    col_b = ["philips", "sitting", "abd"] * 8
+    got = st.compute("levenshtein", col_a, col_b, config=cfg)
+    want = np.array(
+        [ORACLES["levenshtein"](a, b) for a, b in zip(col_a, col_b)]
+    )
+    assert got.tobytes() == want.tobytes()
+    assert "pallas_raise" in seen and "myers" in seen
+
+    # drain background compiles kicked off by prewarm (the interpret-mode
+    # pallas compile): a daemon thread still inside XLA at interpreter exit
+    # aborts process teardown
+    from strsim_tpu.utils import compile_guard
+
+    for fut in list(compile_guard._futures.values()):
+        fut.event.wait(120)

@@ -61,7 +61,8 @@ def test_all_implementations_agree(corpus, measure):
 @pytest.mark.parametrize(
     "lev,jaro,multiset",
     [
-        ("myers", "bitmask", "chunked"),  # production defaults (sublane-packed)
+        ("myers", "bitmask", "chunked"),  # XLA production kernels
+        ("pallas_scan", "bitmask", "chunked"),  # TPU "auto" default at w<=31
         ("myers", "bitmask", "xla"),  # 1-position-per-step multiset scan
         ("wavefront", "scan", "table"),  # round-1 kernels stay locked
     ],

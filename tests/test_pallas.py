@@ -82,3 +82,59 @@ def test_pallas_jaro_fuzz():
     want = [oracle.jaro_stats(a, b) for a, b in pairs]
     np.testing.assert_array_equal(np.asarray(m), np.array([w[0] for w in want]))
     np.testing.assert_array_equal(np.asarray(t), np.array([w[1] for w in want]))
+
+
+# --- production W=1 Myers scan kernel (ops/levenshtein_pallas_scan.py) ---
+
+
+def test_pallas_scan_golden(golden):
+    from strsim_tpu.ops.levenshtein_pallas_scan import (
+        levenshtein_distance_myers_pallas,
+    )
+
+    pairs = [(a, b) for a, b, _ in golden["levenshtein"] if a and b]
+    ca, cb, la, lb = _tiles(pairs, width=31)
+    d = np.asarray(
+        levenshtein_distance_myers_pallas(ca, cb, la, lb, interpret=True)
+    )
+    want = np.array([oracle.levenshtein_distance(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(d, want)
+
+
+@pytest.mark.parametrize("width", [7, 15, 23, 31])
+def test_pallas_scan_fuzz_matches_xla_myers(width):
+    """Bit-exact agreement with the XLA Myers kernel on every width band,
+    including empty sides, equal pairs, and a batch not divisible by 8."""
+    from strsim_tpu.ops.levenshtein_myers import levenshtein_distance_myers
+    from strsim_tpu.ops.levenshtein_pallas_scan import (
+        levenshtein_distance_myers_pallas,
+    )
+
+    rng = random.Random(width)
+    pairs = []
+    for i in range(203):  # odd count: exercises the sublane pad path
+        la = rng.randrange(0, width + 1)
+        lb = rng.randrange(0, width + 1)
+        a = "".join(rng.choice("abcd") for _ in range(la))
+        b = "".join(rng.choice("abcd") for _ in range(lb))
+        if i % 11 == 0:
+            b = a
+        pairs.append((a, b))
+    ca, cb, la, lb = _tiles(pairs, width=width)
+    got = np.asarray(
+        levenshtein_distance_myers_pallas(ca, cb, la, lb, interpret=True)
+    )
+    want = np.asarray(levenshtein_distance_myers(ca, cb, la, lb))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_scan_rejects_wide():
+    from strsim_tpu.ops.levenshtein_pallas_scan import (
+        levenshtein_distance_myers_pallas,
+        supports_width,
+    )
+
+    assert supports_width(31) and supports_width(32) and not supports_width(33)
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=47)
+    with pytest.raises(ValueError):
+        levenshtein_distance_myers_pallas(ca, cb, la, lb, interpret=True)

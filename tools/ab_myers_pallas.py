@@ -51,53 +51,100 @@ SUB = 8
 _WORD = 32
 
 
-def _scan_kernel(eq_ref, la_ref, lb_ref, out_ref, *, L: int):
-    """eq_ref: [1, L, 8, BR8] i32 (bit j of row word = a_i == b_j, bitcast);
-    la/lb: [1, 8, BR8] i32; out: [1, 8, BR8] i32 distances."""
+def _myers_step(eq, lb, hbit, j, state):
     u32, i32 = jnp.uint32, jnp.int32
-    la = la_ref[0]
-    lb = lb_ref[0]
-    shape = la.shape
+    pv, mv, score = state
+    active = j < lb
 
+    x = eq & pv
+    s1 = x + pv
+    xh = (s1 ^ pv) | eq
+    xv = eq | mv
+    ph = mv | ~(xh | pv)
+    mh = pv & xh
+    ph_bit = (ph >> hbit) & 1
+    mh_bit = (mh >> hbit) & 1
+    ph_s = (ph << 1) | np.uint32(1)
+    mh_s = mh << 1
+    pv_n = mh_s | ~(xv | ph_s)
+    mv_n = ph_s & xv
+
+    delta = ph_bit.astype(i32) - mh_bit.astype(i32)
+    score = score + jnp.where(active, delta, 0)
+    return (
+        jnp.where(active, pv_n, pv),
+        jnp.where(active, mv_n, mv),
+        score,
+    )
+
+
+def _init_state(la):
+    u32, i32 = jnp.uint32, jnp.int32
+    shape = la.shape
     m1 = jnp.maximum(la - 1, 0)
     hbit = (m1 % _WORD).astype(u32)
-
     pv0 = jnp.full(shape, np.uint32(0xFFFFFFFF), u32)
     mv0 = jnp.zeros(shape, u32)
     score0 = la.astype(i32)
-
-    def body(j, state):
-        pv, mv, score = state
-        eq = lax.bitcast_convert_type(eq_ref[0, pl.ds(j, 1)][0], u32)
-        active = j < lb
-
-        x = eq & pv
-        s1 = x + pv
-        xh = (s1 ^ pv) | eq
-        xv = eq | mv
-        ph = mv | ~(xh | pv)
-        mh = pv & xh
-        ph_bit = (ph >> hbit) & 1
-        mh_bit = (mh >> hbit) & 1
-        ph_s = (ph << 1) | np.uint32(1)
-        mh_s = mh << 1
-        pv_n = mh_s | ~(xv | ph_s)
-        mv_n = ph_s & xv
-
-        delta = ph_bit.astype(i32) - mh_bit.astype(i32)
-        score = score + jnp.where(active, delta, 0)
-        return (
-            jnp.where(active, pv_n, pv),
-            jnp.where(active, mv_n, mv),
-            score,
-        )
-
-    _, _, score = lax.fori_loop(0, L, body, (pv0, mv0, score0))
-    out_ref[0] = score
+    return hbit, (pv0, mv0, score0)
 
 
-def levenshtein_myers_pallas(a, b, len_a, len_b, *, block_rows=8192):
-    """W=1 (L <= 32) Myers with the sequential scan in a Pallas kernel."""
+def _scan_kernel(eq_ref, la_ref, lb_ref, out_ref, *, L: int, unroll: bool):
+    """eq_ref: [1, L, 8, BR8] i32 (bit j of row word = a_i == b_j, bitcast);
+    la/lb: [1, 8, BR8] i32; out: [1, 8, BR8] i32 distances."""
+    u32 = jnp.uint32
+    la = la_ref[0]
+    lb = lb_ref[0]
+    hbit, state = _init_state(la)
+
+    if unroll:  # static steps: no loop machinery, static eq slices
+        for j in range(L):
+            eq = lax.bitcast_convert_type(eq_ref[0, j], u32)
+            state = _myers_step(eq, lb, hbit, j, state)
+    else:
+        def body(j, state):
+            eq = lax.bitcast_convert_type(eq_ref[0, pl.ds(j, 1)][0], u32)
+            return _myers_step(eq, lb, hbit, j, state)
+
+        state = lax.fori_loop(0, L, body, state)
+    out_ref[0] = state[2]
+
+
+def _ineq_kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
+    """In-kernel Eq build from i32 char tiles (fully unrolled scan).
+    a_ref: [1, 32, 8, BR8] i32 chars (pattern, PAD_A-padded to 32 rows);
+    b_ref: [1, L, 8, BR8] i32 chars; la/lb/out: [1, 8, BR8] i32."""
+    u32, i32 = jnp.uint32, jnp.int32
+    la = la_ref[0]
+    lb = lb_ref[0]
+    hbit, state = _init_state(la)
+    a_rows = [a_ref[0, i] for i in range(_WORD)]
+    for j in range(L):
+        b_j = b_ref[0, j]
+        eq_i = jnp.zeros(la.shape, i32)
+        for i in range(_WORD):
+            w = np.int32(np.uint32(1) << np.uint32(i))
+            eq_i = eq_i | jnp.where(a_rows[i] == b_j, w, np.int32(0))
+        eq = lax.bitcast_convert_type(eq_i, u32)
+        state = _myers_step(eq, lb, hbit, j, state)
+    out_ref[0] = state[2]
+
+
+def _pad_rows(aT, B, rows):
+    L = aT.shape[0]
+    if L >= rows:
+        return aT
+    return jnp.concatenate(
+        [aT, jnp.full((rows - L, B), PAD_A, dtype=aT.dtype)], axis=0
+    )
+
+
+def levenshtein_myers_pallas(
+    a, b, len_a, len_b, *, block_rows=8192, variant="scan"
+):
+    """W=1 (L <= 32) Myers with the sequential scan in a Pallas kernel.
+    variant: "scan" (XLA Eq + fori_loop), "unroll" (XLA Eq + static steps),
+    "ineq" (i32 char tiles in, Eq built in-kernel, static steps)."""
     B, L = a.shape
     assert L <= _WORD, "W=1 specialization"
     BR = min(block_rows, B)
@@ -106,15 +153,36 @@ def levenshtein_myers_pallas(a, b, len_a, len_b, *, block_rows=8192):
     G = B // BR
     u32, i32 = jnp.uint32, jnp.int32
 
-    aT, bT = a.T, b.T
-    aTp = (
-        jnp.concatenate(
-            [aT, jnp.full((_WORD - L, B), PAD_A, dtype=aT.dtype)], axis=0
+    la3 = len_a.astype(i32).reshape(G, SUB, BR8)
+    lb3 = len_b.astype(i32).reshape(G, SUB, BR8)
+    row_spec = pl.BlockSpec((1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+
+    def tile_spec(rows):
+        return pl.BlockSpec(
+            (1, rows, SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
         )
-        if L < _WORD
-        else aT
-    )
+
+    aT, bT = a.T, b.T
+    if variant == "ineq":
+        a4 = (
+            _pad_rows(aT, B, _WORD)
+            .astype(i32)
+            .reshape(_WORD, G, SUB, BR8)
+            .transpose(1, 0, 2, 3)
+        )  # [G, 32, 8, BR8]
+        b4 = bT.astype(i32).reshape(L, G, SUB, BR8).transpose(1, 0, 2, 3)
+        out = pl.pallas_call(
+            functools.partial(_ineq_kernel, L=L),
+            out_shape=jax.ShapeDtypeStruct((G, SUB, BR8), i32),
+            grid=(G,),
+            in_specs=[tile_spec(_WORD), tile_spec(L), row_spec, row_spec],
+            out_specs=out_spec,
+        )(a4, b4, la3, lb3)
+        return out.reshape(B)
+
     # XLA-side Eq build (fused compare/select/reduce, fully parallel)
+    aTp = _pad_rows(aT, B, _WORD)
     bits = np.uint32(1) << jnp.arange(_WORD, dtype=u32)
     eq4 = aTp.reshape(1, _WORD, B) == bT[:, None, :]
     Eq = jnp.sum(
@@ -125,23 +193,13 @@ def levenshtein_myers_pallas(a, b, len_a, len_b, *, block_rows=8192):
         .reshape(L, G, SUB, BR8)
         .transpose(1, 0, 2, 3)
     )  # [G, L, 8, BR8]
-    la3 = len_a.astype(i32).reshape(G, SUB, BR8)
-    lb3 = len_b.astype(i32).reshape(G, SUB, BR8)
 
     out = pl.pallas_call(
-        functools.partial(_scan_kernel, L=L),
+        functools.partial(_scan_kernel, L=L, unroll=(variant == "unroll")),
         out_shape=jax.ShapeDtypeStruct((G, SUB, BR8), i32),
         grid=(G,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, L, SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=[tile_spec(L), row_spec, row_spec],
+        out_specs=out_spec,
     )(Eq3, la3, lb3)
     return out.reshape(B)
 
@@ -173,20 +231,29 @@ def main():
         lens3 = jnp.asarray(lens[None])
         base = wrap(levenshtein_distance_myers, width)
         r0 = np.asarray(jax.jit(base)(codes3[0], lens3[0]))
-        for br in (8192, 32768, 262144):
-            try:
-                pk = wrap(levenshtein_myers_pallas, width, block_rows=br)
-                r1 = np.asarray(jax.jit(pk)(codes3[0], lens3[0]))
-                tag = "" if np.array_equal(r0, r1) else "  MISMATCH!"
-                t = marginal_block_time(pk, codes3, lens3)
-                print(
-                    f"w{width:3d} pallas/br{br:6d}: {t*1000:8.4f} ms/block "
-                    f"= {BLOCK/t/1e6:8.1f} M pairs/s{tag}",
-                    flush=True,
-                )
-            except Exception as e:  # noqa: BLE001
-                msg = str(e).replace("\n", " ")[:160]
-                print(f"w{width:3d} pallas/br{br}: FAIL {type(e).__name__}: {msg}", flush=True)
+        for variant in ("scan", "unroll", "ineq"):
+            for br in (8192, 32768):
+                try:
+                    pk = wrap(
+                        levenshtein_myers_pallas,
+                        width,
+                        block_rows=br,
+                        variant=variant,
+                    )
+                    r1 = np.asarray(jax.jit(pk)(codes3[0], lens3[0]))
+                    tag = "" if np.array_equal(r0, r1) else "  MISMATCH!"
+                    t = marginal_block_time(pk, codes3, lens3)
+                    print(
+                        f"w{width:3d} pallas-{variant:6s}/br{br:6d}: {t*1000:8.4f} ms/block "
+                        f"= {BLOCK/t/1e6:8.1f} M pairs/s{tag}",
+                        flush=True,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    msg = str(e).replace("\n", " ")[:160]
+                    print(
+                        f"w{width:3d} pallas-{variant}/br{br}: FAIL {type(e).__name__}: {msg}",
+                        flush=True,
+                    )
         t = marginal_block_time(base, codes3, lens3)
         print(
             f"w{width:3d} xla-myers8   : {t*1000:8.4f} ms/block "
