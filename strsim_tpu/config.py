@@ -39,18 +39,22 @@ class StrsimConfig:
     #   levenshtein: "auto" (production default — "pallas_scan" on TPU at
     #     widths <= 31, "myers" otherwise), "myers" (bit-parallel column DP;
     #     "xla" is an alias), "pallas_scan" (VMEM-resident Myers scan with
-    #     in-kernel Eq, ops/levenshtein_pallas_scan.py — measured +18..37%
-    #     over "myers" on v5e, tools/ab_myers_pallas.py), "wavefront"
+    #     in-kernel Eq, ops/levenshtein_pallas_scan.py — measured +13..178%
+    #     over "myers" on v5e), "wavefront"
     #     (round-1 anti-diagonal DP), "pallas" (round-1 experimental
     #     wavefront, interpret-only).
     #   jaro: "bitmask" (packed-flag greedy scan + loop-free transposition,
     #     production default; "xla" is an alias), "scan" (round-1 [L,B]-flag
     #     scan), "pallas".
-    #   multiset: "auto" (production default → "chunked": G i-positions per
-    #     fused [G,L,B] compare-reduce step, G bucket-dependent — measured
-    #     fastest in every width band, tools/ab_multiset_chunked.py),
-    #     "chunked" explicit, "xla" (streaming 1-position-per-step scan),
-    #     "table" ([L,L,B] compare).
+    #   multiset: "auto" (production default — "pallas_scan" on TPU at
+    #     widths <= 31, "chunked" otherwise), "pallas_scan" (unrolled
+    #     VMEM-resident occurrence-rank kernel, ops/multiset_pallas.py —
+    #     measured +30..130% over "chunked" on v5e,
+    #     tools/ab_multiset_pallas.py), "chunked" (G i-positions per fused
+    #     [G,L,B] compare-reduce step, G bucket-dependent — fastest XLA
+    #     variant in every width band, tools/ab_multiset_chunked.py),
+    #     "xla" (streaming 1-position-per-step scan), "table" ([L,L,B]
+    #     compare).
     levenshtein_impl: str = "auto"
     jaro_impl: str = "bitmask"
     multiset_impl: str = "auto"

@@ -48,12 +48,18 @@ def _round_batch(n: int, cfg: StrsimConfig) -> int:
 
 def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
     """Resolve the effective multiset kernel for a bucket width. "auto"
-    (default) is the chunked scan at every width — it measured fastest in
-    every band on v5e (tools/ab_multiset_chunked.py: w7 +25% over the 1-step
-    loop, w15 +8%, w31 +19% over the capped table, w63 +20%); its chunk
-    width G is bucket-dependent inside the kernel (ops/multiset_loop.py)."""
+    (default) picks the Pallas unrolled kernel on TPU at widths <= 31 —
+    measured +130%/+30%/+34% at w7/w15/w31 over the chunked scan on v5e
+    (tools/ab_multiset_pallas.py) — and the chunked scan everywhere else
+    (it measured fastest among the XLA variants in every band,
+    tools/ab_multiset_chunked.py; chunk width G is bucket-dependent inside
+    the kernel, ops/multiset_loop.py)."""
     impl = cfg.multiset_impl
     if impl == "auto":
+        from strsim_tpu.ops.multiset_pallas import supports_width
+
+        if supports_width(width) and jax.default_backend() == "tpu":
+            return "pallas_scan"
         return "chunked"
     return impl
 
@@ -61,9 +67,9 @@ def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
 def _lev_impl_for(cfg: StrsimConfig, width: int) -> str:
     """Resolve the effective levenshtein kernel for a bucket width. "auto"
     (default) picks the Pallas VMEM-resident Myers scan on TPU for the W=1
-    widths (<= 31) — measured +37%/+21%/+18% at w7/w15/w31 over the XLA
-    kernel on v5e (tools/ab_myers_pallas.py) — and the XLA bit-parallel
-    kernel everywhere else (wider buckets, non-TPU backends)."""
+    widths (<= 31) — measured +178%/+69%/+13% at w7/w15/w31 over the XLA
+    kernel on v5e (ops/levenshtein_pallas_scan.py docstring) — and the XLA
+    bit-parallel kernel everywhere else (wider buckets, non-TPU backends)."""
     impl = cfg.levenshtein_impl
     if impl == "auto":
         from strsim_tpu.ops.levenshtein_pallas_scan import supports_width
@@ -489,8 +495,9 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
     if kernel is None and any(v == "pallas_scan" for _, v in impls):
         # Pallas kernel unavailable: same-contract XLA kernel before giving
         # up on the device (host fallback is exact but far slower)
+        xla_equiv = {"levenshtein": "myers", "jaro": "bitmask", "multiset": "chunked"}
         impls = tuple(
-            (k, "myers" if v == "pallas_scan" else v) for k, v in impls
+            (k, xla_equiv[k] if v == "pallas_scan" else v) for k, v in impls
         )
         try:
             kernel = _compiled_kernel(

@@ -18,10 +18,11 @@ fit ONE machine word (len_a <= 32 — every standard bucket up to width 31):
   * batch is folded to [8, BR/8] minor dims so every op fills (8, 128)
     register tiles (the sublane fix measured in tools/ab_myers_sublane.py).
 
-Measured on v5e (tools/ab_myers_pallas.py, 262144-row blocks, bit-exact vs
-the XLA kernel at every point): w7 1706 vs 1247 M pairs/s (+37%), w15 1170
-vs 970 (+21%), w31 612 vs 521 (+18%). Grid block BR = 8192 rows is the
-winner at all widths.
+Measured on v5e (262144-row blocks, bit-exact vs the XLA kernel at every
+point; this module's L-row Eq build, which cut the probe's 32-row build
+by 32/L): w7 3498 vs 1259 M pairs/s (+178%), w15 1601 vs 950 (+69%),
+w31 630 vs 558 (+13%). Grid block BR = 8192 rows is the winner at all
+widths (tools/ab_myers_pallas.py).
 
 Environment note: the terminal-side Mosaic compiler in this sandbox rejects
 int8 VMEM blocks and u32 reductions (HTTP 500) — hence i32 char tiles and an
@@ -62,8 +63,8 @@ def supports_width(L: int) -> bool:
 
 
 def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
-    """a_ref: [1, 32, 8, BR8] i32 pattern chars (PAD_A past len and to 32
-    rows); b_ref: [1, L, 8, BR8] i32 text chars; la/lb/out: [1, 8, BR8] i32.
+    """a_ref: [1, L, 8, BR8] i32 pattern chars (PAD_A past len); b_ref:
+    [1, L, 8, BR8] i32 text chars; la/lb/out: [1, 8, BR8] i32.
     """
     u32, i32 = jnp.uint32, jnp.int32
     la = la_ref[0]
@@ -76,14 +77,20 @@ def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
     mv = jnp.zeros(la.shape, u32)
     score = la.astype(i32)
 
-    a_rows = [a_ref[0, i] for i in range(_WORD)]
+    a_rows = [a_ref[0, i] for i in range(L)]
     for j in range(L):  # static unroll: L is the bucket width
         b_j = b_ref[0, j]
-        # Eq_j bit i = (a_i == b_j); PAD_A never equals any text char, so
-        # bits at i >= len_a are 0 with no masking. i32 accumulate (Mosaic
-        # has no u32 reduce), bitcast after — bit patterns are identical.
+        # Eq_j bit i = (a_i == b_j); only pattern positions i < L exist
+        # (len_a <= L), so Eq bits at i >= L are identically 0 — comparing
+        # L rows instead of the full 32-bit word cuts the Eq build (the
+        # kernel's dominant compute) by 32/L. PAD_A never equals any text
+        # char, so bits at len_a <= i < L are 0 with no masking. Word bits
+        # above L-1 evolve as never-match columns; Myers' add propagates
+        # carries upward only, so they cannot influence the tracked score
+        # bit la-1 < L. i32 accumulate (Mosaic has no u32 reduce), bitcast
+        # after — bit patterns are identical.
         eq_i = jnp.zeros(la.shape, i32)
-        for i in range(_WORD):
+        for i in range(L):
             w = np.int32(np.uint32(1) << np.uint32(i))
             eq_i = eq_i | jnp.where(a_rows[i] == b_j, w, np.int32(0))
         eq = lax.bitcast_convert_type(eq_i, u32)
@@ -158,11 +165,7 @@ def levenshtein_distance_myers_pallas(
 
     aT = a.T.astype(i32)  # [L, B] batch-in-lanes, i32 (Mosaic: no int8 blocks)
     bT = b.T.astype(i32)
-    if L < _WORD:
-        aT = jnp.concatenate(
-            [aT, jnp.full((_WORD - L, B), PAD_A, dtype=i32)], axis=0
-        )
-    a4 = aT.reshape(_WORD, G, _SUB, BR8).transpose(1, 0, 2, 3)
+    a4 = aT.reshape(L, G, _SUB, BR8).transpose(1, 0, 2, 3)
     b4 = bT.reshape(L, G, _SUB, BR8).transpose(1, 0, 2, 3)
     la3 = len_a.astype(i32).reshape(G, _SUB, BR8)
     lb3 = len_b.astype(i32).reshape(G, _SUB, BR8)
@@ -180,7 +183,7 @@ def levenshtein_distance_myers_pallas(
         functools.partial(_kernel, L=L),
         out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
         grid=(G,),
-        in_specs=[tile_spec(_WORD), tile_spec(L), row_spec, row_spec],
+        in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
         out_specs=row_spec,
         interpret=interpret,
     )(a4, b4, la3, lb3)

@@ -355,7 +355,18 @@ def compute_stats(
         out["prefix"] = shared_prefix_length(a, b)
     if "inter" in need:
         ms_impl = impl.get("multiset", "chunked")
-        if ms_impl == "table":
+        if ms_impl == "pallas_scan":
+            from strsim_tpu.ops import multiset_pallas as msp
+
+            if not msp.supports_width(a.shape[1]):
+                from strsim_tpu.ops.multiset_loop import (
+                    multiset_intersection_chunked,
+                )
+
+                out["inter"] = multiset_intersection_chunked(a, b, len_a, len_b)
+            else:
+                out["inter"] = msp.multiset_intersection_pallas(a, b, len_a, len_b)
+        elif ms_impl == "table":
             out["inter"] = multiset_intersection(a, b, len_a, len_b)
         elif ms_impl == "xla":  # streaming 1-position-per-step scan
             from strsim_tpu.ops.multiset_loop import multiset_intersection_loop

@@ -62,7 +62,7 @@ def test_all_implementations_agree(corpus, measure):
     "lev,jaro,multiset",
     [
         ("myers", "bitmask", "chunked"),  # XLA production kernels
-        ("pallas_scan", "bitmask", "chunked"),  # TPU "auto" default at w<=31
+        ("pallas_scan", "bitmask", "pallas_scan"),  # TPU "auto" default at w<=31
         ("myers", "bitmask", "xla"),  # 1-position-per-step multiset scan
         ("wavefront", "scan", "table"),  # round-1 kernels stay locked
     ],

@@ -138,3 +138,53 @@ def test_pallas_scan_rejects_wide():
     ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=47)
     with pytest.raises(ValueError):
         levenshtein_distance_myers_pallas(ca, cb, la, lb, interpret=True)
+
+
+# --- production multiset kernel (ops/multiset_pallas.py) ---
+
+
+def test_pallas_multiset_golden(golden):
+    from strsim_tpu.ops.multiset_pallas import multiset_intersection_pallas
+
+    pairs = [(a, b) for a, b, _ in golden["jaccard"] if a and b]
+    ca, cb, la, lb = _tiles(pairs, width=31)
+    got = np.asarray(
+        multiset_intersection_pallas(ca, cb, la, lb, interpret=True)
+    )
+    want = np.array([oracle.multiset_intersection(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("width", [7, 15, 23, 31])
+def test_pallas_multiset_fuzz_matches_chunked(width):
+    from strsim_tpu.ops.multiset_loop import multiset_intersection_chunked
+    from strsim_tpu.ops.multiset_pallas import multiset_intersection_pallas
+
+    rng = random.Random(width * 31)
+    pairs = []
+    for i in range(203):  # odd count: exercises the sublane pad path
+        la = rng.randrange(0, width + 1)
+        lb = rng.randrange(0, width + 1)
+        a = "".join(rng.choice("abc") for _ in range(la))
+        b = "".join(rng.choice("abc") for _ in range(lb))
+        if i % 11 == 0:
+            b = a
+        pairs.append((a, b))
+    ca, cb, la, lb = _tiles(pairs, width=width)
+    got = np.asarray(
+        multiset_intersection_pallas(ca, cb, la, lb, interpret=True)
+    )
+    want = np.asarray(multiset_intersection_chunked(ca, cb, la, lb))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_multiset_rejects_wide():
+    from strsim_tpu.ops.multiset_pallas import (
+        multiset_intersection_pallas,
+        supports_width,
+    )
+
+    assert supports_width(31) and not supports_width(47)
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=47)
+    with pytest.raises(ValueError):
+        multiset_intersection_pallas(ca, cb, la, lb, interpret=True)
