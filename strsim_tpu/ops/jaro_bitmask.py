@@ -76,21 +76,23 @@ def jaro_match_stats_bitmask(
 
     # EqB[i, w] = bitmask over b-positions j in word w of (b_j == a_i).
     # Pads differ per side, so bits past either length are 0 automatically.
+    # Compare only the L REAL b rows (bits j >= L are identically 0): per
+    # word w this slices rows [32w, min(32(w+1), L)) instead of padding b up
+    # to 32W rows — at w15 that halves the build's compare work, the largest
+    # term in the kernel's cost model (docs/ROOFLINE.md).
     bits = np.uint32(1) << jnp.arange(_WORD, dtype=u32)
-    Lp = W * _WORD
-    bTp = bT
-    if Lp > L:
-        from strsim_tpu.utils.encode import PAD_B
-
-        bTp = jnp.concatenate(
-            [bT, jnp.full((Lp - L, B), PAD_B, dtype=bT.dtype)], axis=0
+    words = []
+    for w in range(W):
+        j0, j1 = w * _WORD, min((w + 1) * _WORD, L)
+        eq4 = bT[None, j0:j1, :] == aT[:, None, :]  # [L_i, j1-j0, B]
+        words.append(
+            jnp.sum(
+                jnp.where(eq4, bits[None, : j1 - j0, None], np.uint32(0)),
+                axis=1,
+                dtype=u32,
+            )
         )
-    eq4 = bTp.reshape(W, _WORD, B)[None, :, :, :] == aT[:, None, None, :]
-    EqB = jnp.sum(
-        jnp.where(eq4, bits[None, None, :, None], np.uint32(0)),
-        axis=2,
-        dtype=u32,
-    ).reshape(L, W, *bshape)  # [L_i, W, *bshape]
+    EqB = jnp.stack(words, axis=1).reshape(L, W, *bshape)  # [L_i, W, *bshape]
 
     def body(i, state):
         flagged, matched, m = state  # [W,*bshape] u32 x2, [*bshape] i32

@@ -40,8 +40,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from strsim_tpu.utils.encode import PAD_A
-
 Array = jax.Array
 
 _WORD = 32
@@ -93,7 +91,6 @@ def levenshtein_distance_myers(
     """
     B, L = a.shape
     W = -(-L // _WORD)  # words per row (pattern = a)
-    Lp = W * _WORD
     u32 = jnp.uint32
     i32 = jnp.int32
 
@@ -105,22 +102,27 @@ def levenshtein_distance_myers(
 
     aT = a.T  # [L, B] batch-in-lanes
     bT = b.T
-    if Lp > L:
-        aT = jnp.concatenate(
-            [aT, jnp.full((Lp - L, B), PAD_A, dtype=aT.dtype)], axis=0
-        )
 
     # Eq precompute: Eq[j, w] = bitmask over pattern positions i in word w of
     # (a_i == b_j). PAD_A never equals any b char (real or PAD_B), so bits at
-    # i >= len_a are 0 with no masking. One fused compare+select+reduce; no
-    # loop carry.
+    # i >= len_a are 0 with no masking. One fused compare+select+reduce per
+    # word; no loop carry. Compare only the L REAL pattern rows (bits i >= L
+    # are identically 0): per word this slices rows [32w, min(32(w+1), L))
+    # instead of padding a up to 32W rows — the build is the kernel's
+    # largest cost term (docs/ROOFLINE.md).
     bits = np.uint32(1) << jnp.arange(_WORD, dtype=u32)  # [32]
-    eq4 = aT.reshape(W, _WORD, B)[None, :, :, :] == bT[:, None, None, :]
-    Eq = jnp.sum(
-        jnp.where(eq4, bits[None, None, :, None], np.uint32(0)),
-        axis=2,
-        dtype=u32,
-    ).reshape(L, W, *bshape)  # [L_j, W, *bshape]
+    words = []
+    for w in range(W):
+        i0, i1 = w * _WORD, min((w + 1) * _WORD, L)
+        eq4 = aT[None, i0:i1, :] == bT[:, None, :]  # [L_j, i1-i0, B]
+        words.append(
+            jnp.sum(
+                jnp.where(eq4, bits[None, : i1 - i0, None], np.uint32(0)),
+                axis=1,
+                dtype=u32,
+            )
+        )
+    Eq = jnp.stack(words, axis=1).reshape(L, W, *bshape)  # [L_j, W, *bshape]
 
     la = len_a.reshape(bshape)
     lb = len_b.reshape(bshape)
