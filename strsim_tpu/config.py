@@ -37,7 +37,7 @@ class StrsimConfig:
 
     # Kernel implementation per measure family.
     #   levenshtein: "auto" (production default — "pallas_scan" on TPU at
-    #     widths <= 31, "myers" otherwise), "myers" (bit-parallel column DP;
+    #     widths <= 63, "myers" otherwise), "myers" (bit-parallel column DP;
     #     "xla" is an alias), "pallas_scan" (VMEM-resident Myers scan with
     #     in-kernel Eq, ops/levenshtein_pallas_scan.py — measured +13..178%
     #     over "myers" on v5e), "wavefront"
@@ -47,7 +47,7 @@ class StrsimConfig:
     #     production default; "xla" is an alias), "scan" (round-1 [L,B]-flag
     #     scan), "pallas".
     #   multiset: "auto" (production default — "pallas_scan" on TPU at
-    #     widths <= 31, "chunked" otherwise), "pallas_scan" (unrolled
+    #     widths <= 63, "chunked" otherwise), "pallas_scan" (unrolled
     #     VMEM-resident occurrence-rank kernel, ops/multiset_pallas.py —
     #     measured +30..130% over "chunked" on v5e,
     #     tools/ab_multiset_pallas.py), "chunked" (G i-positions per fused

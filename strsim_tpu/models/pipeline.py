@@ -48,9 +48,9 @@ def _round_batch(n: int, cfg: StrsimConfig) -> int:
 
 def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
     """Resolve the effective multiset kernel for a bucket width. "auto"
-    (default) picks the Pallas unrolled kernel on TPU at widths <= 31 —
-    measured +130%/+30%/+34% at w7/w15/w31 over the chunked scan on v5e
-    (tools/ab_multiset_pallas.py) — and the chunked scan everywhere else
+    (default) picks the Pallas unrolled kernel on TPU at widths <= 63 —
+    measured +130%/+30%/+34%/+35%/+39% at w7/15/31/47/63 over the chunked
+    scan on v5e (tools/ab_multiset_pallas.py) — and the chunked scan beyond
     (it measured fastest among the XLA variants in every band,
     tools/ab_multiset_chunked.py; chunk width G is bucket-dependent inside
     the kernel, ops/multiset_loop.py)."""
@@ -66,10 +66,11 @@ def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
 
 def _lev_impl_for(cfg: StrsimConfig, width: int) -> str:
     """Resolve the effective levenshtein kernel for a bucket width. "auto"
-    (default) picks the Pallas VMEM-resident Myers scan on TPU for the W=1
-    widths (<= 31) — measured +178%/+69%/+13% at w7/w15/w31 over the XLA
-    kernel on v5e (ops/levenshtein_pallas_scan.py docstring) — and the XLA
-    bit-parallel kernel everywhere else (wider buckets, non-TPU backends)."""
+    (default) picks the Pallas VMEM-resident Myers scan on TPU at widths
+    <= 63 — measured +178%/+69%/+13%/+156%/+81% at w7/15/31/47/63 over the
+    XLA kernel on v5e (ops/levenshtein_pallas_scan.py docstring) — and the
+    XLA bit-parallel kernel everywhere else (wider buckets, non-TPU
+    backends)."""
     impl = cfg.levenshtein_impl
     if impl == "auto":
         from strsim_tpu.ops.levenshtein_pallas_scan import supports_width

@@ -21,8 +21,9 @@ fit ONE machine word (len_a <= 32 — every standard bucket up to width 31):
 Measured on v5e (262144-row blocks, bit-exact vs the XLA kernel at every
 point; this module's L-row Eq build, which cut the probe's 32-row build
 by 32/L): w7 3498 vs 1259 M pairs/s (+178%), w15 1601 vs 950 (+69%),
-w31 630 vs 558 (+13%). Grid block BR = 8192 rows is the winner at all
-widths (tools/ab_myers_pallas.py).
+w31 630 vs 558 (+13%); multiword variant w47 335 vs 131 (+156%), w63 146
+vs 81 (+81%). Grid block BR = 8192 rows is the winner at all widths
+(tools/ab_myers_pallas.py).
 
 Environment note: the terminal-side Mosaic compiler in this sandbox rejects
 int8 VMEM blocks and u32 reductions (HTTP 500) — hence i32 char tiles and an
@@ -57,9 +58,12 @@ _ALL_ONES = np.uint32(0xFFFFFFFF)
 DEFAULT_BLOCK_ROWS = 8192
 
 
+_MAX_WORDS = 2  # unrolled multi-word variant written for W <= 2 (L <= 64)
+
+
 def supports_width(L: int) -> bool:
-    """True iff the W=1 specialization covers padded width L."""
-    return L <= _WORD
+    """True iff an unrolled specialization covers padded width L."""
+    return L <= _WORD * _MAX_WORDS
 
 
 def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
@@ -118,6 +122,74 @@ def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
     out_ref[0] = score
 
 
+def _kernel_multiword(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
+    """Multi-word (W = ceil(L/32) <= _MAX_WORDS) variant of _kernel: same
+    refs/contract; identical recurrence to levenshtein_myers.body with the
+    inter-word addition carry chain and Ph/Mh shift-outs flowing low word ->
+    high. The tracked score bit la-1 is selected per lane by word (hword)."""
+    u32, i32 = jnp.uint32, jnp.int32
+    W = -(-L // _WORD)
+    la = la_ref[0]
+    lb = lb_ref[0]
+    shape = la.shape
+
+    m1 = jnp.maximum(la - 1, 0)
+    hword = m1 // _WORD  # lane-varying word index holding bit m-1
+    hbit = (m1 % _WORD).astype(u32)
+
+    pv = [jnp.full(shape, _ALL_ONES, u32) for _ in range(W)]
+    mv = [jnp.zeros(shape, u32) for _ in range(W)]
+    score = la.astype(i32)
+
+    a_rows = [a_ref[0, i] for i in range(L)]
+    for j in range(L):  # static unroll: L is the bucket width
+        b_j = b_ref[0, j]
+        eq = []
+        for w in range(W):  # per-word Eq from only the real pattern rows
+            eq_i = jnp.zeros(shape, i32)
+            for i in range(w * _WORD, min((w + 1) * _WORD, L)):
+                wt = np.int32(np.uint32(1) << np.uint32(i % _WORD))
+                eq_i = eq_i | jnp.where(a_rows[i] == b_j, wt, np.int32(0))
+            eq.append(lax.bitcast_convert_type(eq_i, u32))
+        active = j < lb
+
+        carry = jnp.zeros(shape, u32)
+        ph_in = jnp.ones(shape, u32)
+        mh_in = jnp.zeros(shape, u32)
+        ph_bit = jnp.zeros(shape, u32)
+        mh_bit = jnp.zeros(shape, u32)
+        new_pv, new_mv = [], []
+        for w in range(W):  # carries flow low word -> high
+            eq_w, pv_w, mv_w = eq[w], pv[w], mv[w]
+            x = eq_w & pv_w
+            s1 = x + pv_w
+            c1 = (s1 < x).astype(u32)
+            s2 = s1 + carry
+            c2 = (s2 < s1).astype(u32)
+            carry = c1 | c2
+            xh = (s2 ^ pv_w) | eq_w
+            xv = eq_w | mv_w
+            ph = mv_w | ~(xh | pv_w)
+            mh = pv_w & xh
+            sel = hword == w
+            ph_bit = jnp.where(sel, (ph >> hbit) & 1, ph_bit)
+            mh_bit = jnp.where(sel, (mh >> hbit) & 1, mh_bit)
+            ph_out = ph >> (_WORD - 1)
+            mh_out = mh >> (_WORD - 1)
+            ph_s = (ph << 1) | ph_in
+            mh_s = (mh << 1) | mh_in
+            ph_in, mh_in = ph_out, mh_out
+            new_pv.append(mh_s | ~(xv | ph_s))
+            new_mv.append(ph_s & xv)
+
+        delta = ph_bit.astype(i32) - mh_bit.astype(i32)
+        score = score + jnp.where(active, delta, 0)
+        pv = [jnp.where(active, n, o) for n, o in zip(new_pv, pv)]
+        mv = [jnp.where(active, n, o) for n, o in zip(new_mv, mv)]
+
+    out_ref[0] = score
+
+
 def _block_rows_for(B: int, block_rows: int) -> int:
     br = min(block_rows, B)
     while B % br:
@@ -134,7 +206,8 @@ def levenshtein_distance_myers_pallas(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     interpret: bool | None = None,
 ) -> Array:
-    """Unit-cost edit distance per row pair; Pallas W=1 Myers scan.
+    """Unit-cost edit distance per row pair; Pallas unrolled Myers scan
+    (W=1 fast path at L <= 32, inter-word carry chain at L <= 64).
 
     a, b: [B, L] padded codepoint tiles (PAD_A / PAD_B past each length),
     any integer dtype; L must satisfy supports_width. len_a, len_b: [B]
@@ -144,7 +217,9 @@ def levenshtein_distance_myers_pallas(
     """
     B, L = a.shape
     if not supports_width(L):
-        raise ValueError(f"pallas_scan kernel requires width <= {_WORD}, got {L}")
+        raise ValueError(
+            f"pallas_scan kernel requires width <= {_WORD * _MAX_WORDS}, got {L}"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     i32 = jnp.int32
@@ -180,7 +255,7 @@ def levenshtein_distance_myers_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, L=L),
+        functools.partial(_kernel if L <= _WORD else _kernel_multiword, L=L),
         out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
         grid=(G,),
         in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],

@@ -14,7 +14,10 @@ loop machinery at all.
 
 Measured on v5e (tools/ab_multiset_pallas.py, 262144-row blocks, bit-exact
 vs the XLA chunked kernel at every point): w7 4070 vs 1769 M pairs/s
-(+130%), w15 1596 vs 1226 (+30%), w31 580 vs 432 (+34%).
+(+130%), w15 1596 vs 1226 (+30%), w31 580 vs 432 (+34%), w47 237 vs 175
+(+35%), w63 141 vs 101 (+39%). Grid block 8192 rows wins everywhere (and
+is required at w63 — the 32768-row block trips the terminal-side Mosaic
+compiler).
 
 Off-TPU backends run the identical kernel via the Pallas interpreter
 (exactness tests use this); the pipeline only selects this kernel on TPU.
@@ -34,14 +37,14 @@ from strsim_tpu.utils.encode import PAD_A, PAD_B
 
 Array = jax.Array
 
-_WORD = 32
 _SUB = 8
+_MAX_WIDTH = 64  # unrolled body; measured wins through w63, the ladder's top
 DEFAULT_BLOCK_ROWS = 8192
 
 
 def supports_width(L: int) -> bool:
     """True iff the unrolled kernel covers padded width L."""
-    return L <= _WORD
+    return L <= _MAX_WIDTH
 
 
 def _kernel(a_ref, b_ref, la_ref, out_ref, *, L: int):
@@ -98,7 +101,9 @@ def multiset_intersection_pallas(
     del len_b
     B, L = a.shape
     if not supports_width(L):
-        raise ValueError(f"pallas multiset kernel requires width <= {_WORD}, got {L}")
+        raise ValueError(
+            f"pallas multiset kernel requires width <= {_MAX_WIDTH}, got {L}"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     i32 = jnp.int32

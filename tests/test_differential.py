@@ -69,9 +69,18 @@ def test_all_implementations_agree(corpus, measure):
 )
 @pytest.mark.parametrize("measure", CORE_MEASURES)
 def test_impl_matrix_agrees(corpus, measure, lev, jaro, multiset):
-    col_a = [a for a, _ in corpus]
-    col_b = [b for _, b in corpus]
-    want = np.array([ORACLES[measure](a, b) for a, b in corpus])
+    rows = corpus
+    if "pallas_scan" in (lev, multiset):
+        # keep the forced-pallas row inside the W=1 widths: the W=2
+        # multiword bodies (widths 33-64) are TPU-only in production and
+        # take minutes per width under the CPU interpreter (see
+        # tests/test_pallas.py for the full CI-cost rationale + the
+        # TPU-side parity evidence covering them)
+        rows = [(a, b) for a, b in corpus if max(len(a), len(b)) <= 31]
+        assert len(rows) >= 150
+    col_a = [a for a, _ in rows]
+    col_b = [b for _, b in rows]
+    want = np.array([ORACLES[measure](a, b) for a, b in rows])
     cfg = st.get_config().replace(
         levenshtein_impl=lev, jaro_impl=jaro, multiset_impl=multiset,
         equal_fast_path=False,

@@ -103,8 +103,13 @@ def test_pallas_scan_golden(golden):
 
 @pytest.mark.parametrize("width", [7, 15, 23, 31])
 def test_pallas_scan_fuzz_matches_xla_myers(width):
-    """Bit-exact agreement with the XLA Myers kernel on every width band,
-    including empty sides, equal pairs, and a batch not divisible by 8."""
+    """Bit-exact agreement with the XLA Myers kernel on the W=1 width
+    bands, empty sides, equal pairs, and a batch not divisible by 8.
+    The W=2 multiword variant (widths 33-64) is NOT interpretable in CI
+    time (XLA:CPU chokes on the 47/63-step unrolled bodies); it is
+    TPU-only in production ("auto" never selects it off-TPU) and is held
+    to 262K-row bit-exact parity vs the XLA kernel on real TPU — numbers
+    and date in the module docstring."""
     from strsim_tpu.ops.levenshtein_myers import levenshtein_distance_myers
     from strsim_tpu.ops.levenshtein_pallas_scan import (
         levenshtein_distance_myers_pallas,
@@ -134,8 +139,8 @@ def test_pallas_scan_rejects_wide():
         supports_width,
     )
 
-    assert supports_width(31) and supports_width(32) and not supports_width(33)
-    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=47)
+    assert supports_width(32) and supports_width(64) and not supports_width(65)
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=95)
     with pytest.raises(ValueError):
         levenshtein_distance_myers_pallas(ca, cb, la, lb, interpret=True)
 
@@ -157,6 +162,9 @@ def test_pallas_multiset_golden(golden):
 
 @pytest.mark.parametrize("width", [7, 15, 23, 31])
 def test_pallas_multiset_fuzz_matches_chunked(width):
+    """Widths 33-64 are covered by 262K-row bit-exact parity vs the XLA
+    kernel on real TPU (module docstring) — the interpreter is too slow
+    for their unrolled bodies in CI."""
     from strsim_tpu.ops.multiset_loop import multiset_intersection_chunked
     from strsim_tpu.ops.multiset_pallas import multiset_intersection_pallas
 
@@ -184,7 +192,7 @@ def test_pallas_multiset_rejects_wide():
         supports_width,
     )
 
-    assert supports_width(31) and not supports_width(47)
-    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=47)
+    assert supports_width(63) and not supports_width(65)
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=95)
     with pytest.raises(ValueError):
         multiset_intersection_pallas(ca, cb, la, lb, interpret=True)
