@@ -40,6 +40,10 @@ from strsim_tpu.api import (
     sorensen_dice,
     jaccard_bigram,
     sorensen_dice_bigram,
+    cosine,
+    overlap,
+    hamming,
+    lcs_seq,
     compute,
     compute_many,
     compute_with_validity,
@@ -61,6 +65,10 @@ __all__ = [
     "sorensen_dice",
     "jaccard_bigram",
     "sorensen_dice_bigram",
+    "cosine",
+    "overlap",
+    "hamming",
+    "lcs_seq",
     "compute",
     "compute_many",
     "compute_with_validity",

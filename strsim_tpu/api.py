@@ -116,6 +116,10 @@ jaro_winkler = _measure_fn("jaro_winkler")
 jaccard = _measure_fn("jaccard")
 sorensen_dice = _measure_fn("sorensen_dice")
 
-# extension measures (bigram-multiset; not in the reference — see docs/API.md)
+# extension measures (not in the reference — see docs/API.md)
 jaccard_bigram = _measure_fn("jaccard_bigram")
 sorensen_dice_bigram = _measure_fn("sorensen_dice_bigram")
+cosine = _measure_fn("cosine")
+overlap = _measure_fn("overlap")
+hamming = _measure_fn("hamming")
+lcs_seq = _measure_fn("lcs_seq")

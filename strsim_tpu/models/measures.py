@@ -39,6 +39,10 @@ MEASURES: Dict[str, Measure] = {
         # rely on the pipeline's equal fast path for equal pairs shorter than
         # 2 chars, which is on by default)
         "jaccard_bigram", "sorensen_dice_bigram",
+        # extensions: char-multiset cosine/overlap (reuse the inter stat —
+        # free when fused with jaccard/dice), positional hamming, and
+        # bit-parallel LCS similarity (ops/lcs.py)
+        "cosine", "overlap", "hamming", "lcs_seq",
     )
 }
 

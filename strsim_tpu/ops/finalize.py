@@ -112,6 +112,51 @@ def finalize_sorensen_dice_bigram(stats: Dict[str, np.ndarray], la: np.ndarray, 
     return _patch_bigram_equal(sim, stats)
 
 
+def finalize_cosine(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: Otsuka-Ochiai cosine over character multisets —
+    inter / sqrt(la * lb). Mirrors the oracle's evaluation order exactly."""
+    both_empty = (la == 0) & (lb == 0)
+    any_empty = (la == 0) | (lb == 0)
+    inter = stats["inter"].astype(np.int64)
+    den = np.sqrt(_as_f64(la.astype(np.int64) * lb.astype(np.int64)))
+    sim = _as_f64(inter) / np.maximum(den, 1.0)
+    sim = np.where(any_empty, 0.0, sim)
+    return np.where(both_empty, 1.0, sim)
+
+
+def finalize_overlap(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: overlap (Szymkiewicz-Simpson) coefficient —
+    inter / min(la, lb)."""
+    both_empty = (la == 0) & (lb == 0)
+    any_empty = (la == 0) | (lb == 0)
+    inter = stats["inter"].astype(np.int64)
+    den = np.minimum(la, lb).astype(np.int64)
+    sim = _as_f64(inter) / _as_f64(np.maximum(den, 1))
+    sim = np.where(any_empty, 0.0, sim)
+    return np.where(both_empty, 1.0, sim)
+
+
+def finalize_hamming(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: normalized Hamming similarity — positional matches over
+    max(la, lb); the length difference counts as mismatches."""
+    both_empty = (la == 0) & (lb == 0)
+    matches = stats["ham_m"].astype(np.int64)
+    den = np.maximum(np.maximum(la, lb), 1).astype(np.int64)
+    sim = _as_f64(matches) / _as_f64(den)
+    return np.where(both_empty, 1.0, sim)
+
+
+def finalize_lcs_seq(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: LCS similarity — lcs / max(la, lb)."""
+    both_empty = (la == 0) & (lb == 0)
+    any_empty = (la == 0) | (lb == 0)
+    lcs = stats["lcs_len"].astype(np.int64)
+    den = np.maximum(np.maximum(la, lb), 1).astype(np.int64)
+    sim = _as_f64(lcs) / _as_f64(den)
+    sim = np.where(any_empty, 0.0, sim)
+    return np.where(both_empty, 1.0, sim)
+
+
 FINALIZERS = {
     "levenshtein": finalize_levenshtein,
     "jaro": finalize_jaro,
@@ -120,6 +165,10 @@ FINALIZERS = {
     "sorensen_dice": finalize_sorensen_dice,
     "jaccard_bigram": finalize_jaccard_bigram,
     "sorensen_dice_bigram": finalize_sorensen_dice_bigram,
+    "cosine": finalize_cosine,
+    "overlap": finalize_overlap,
+    "hamming": finalize_hamming,
+    "lcs_seq": finalize_lcs_seq,
 }
 
 

@@ -178,6 +178,63 @@ def sorensen_dice_bigram(a: str, b: str) -> float:
     return 2.0 * bigram_intersection(a, b) / (na + nb)
 
 
+def cosine(a: str, b: str) -> float:
+    """EXTENSION (not in the reference): Otsuka-Ochiai cosine over character
+    multisets — inter / sqrt(la * lb). Equal/empty guards as the core
+    multiset measures (both empty -> 1.0, one empty -> 0.0)."""
+    if (not a and not b) or a == b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    import math
+
+    return multiset_intersection(a, b) / math.sqrt(len(a) * len(b))
+
+
+def overlap(a: str, b: str) -> float:
+    """EXTENSION: overlap (Szymkiewicz-Simpson) coefficient over character
+    multisets — inter / min(la, lb)."""
+    if (not a and not b) or a == b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return multiset_intersection(a, b) / min(len(a), len(b))
+
+
+def hamming(a: str, b: str) -> float:
+    """EXTENSION: normalized Hamming similarity — positional matches over
+    max(la, lb) (length difference counts as mismatches, the rapidfuzz
+    padded convention)."""
+    if not a and not b:
+        return 1.0
+    matches = sum(1 for x, y in zip(a, b) if x == y)
+    return matches / max(len(a), len(b))
+
+
+def lcs_length(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    if m == 0 or n == 0:
+        return 0
+    prev = [0] * (n + 1)
+    for i in range(1, m + 1):
+        cur = [0] * (n + 1)
+        ai = a[i - 1]
+        for j in range(1, n + 1):
+            cur[j] = prev[j - 1] + 1 if ai == b[j - 1] else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[n]
+
+
+def lcs_seq(a: str, b: str) -> float:
+    """EXTENSION: longest-common-subsequence similarity — lcs / max(la, lb)
+    (textdistance LCSSeq normalization)."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return lcs_length(a, b) / max(len(a), len(b))
+
+
 ORACLES = {
     "levenshtein": levenshtein,
     "jaro": jaro,
@@ -186,4 +243,8 @@ ORACLES = {
     "sorensen_dice": sorensen_dice,
     "jaccard_bigram": jaccard_bigram,
     "sorensen_dice_bigram": sorensen_dice_bigram,
+    "cosine": cosine,
+    "overlap": overlap,
+    "hamming": hamming,
+    "lcs_seq": lcs_seq,
 }

@@ -281,6 +281,12 @@ STAT_FIELDS = {
     # pipeline's equal_fast_path is enabled.
     "jaccard_bigram": ("inter2", "eq"),
     "sorensen_dice_bigram": ("inter2", "eq"),
+    # extensions over the char-multiset intersection stat (free when fused
+    # with jaccard/dice) and two extension-only stats
+    "cosine": ("inter",),
+    "overlap": ("inter",),
+    "hamming": ("ham_m",),
+    "lcs_seq": ("lcs_len",),
 }
 
 
@@ -382,6 +388,14 @@ def compute_stats(
         from strsim_tpu.ops.multiset_loop import bigram_intersection_loop
 
         out["inter2"] = bigram_intersection_loop(a, b, len_a, len_b)
+    if "ham_m" in need:
+        # positional matches; pads differ per side, so positions past either
+        # length never compare equal (EXTENSION: hamming)
+        out["ham_m"] = jnp.sum((a == b).astype(jnp.int32), axis=1)
+    if "lcs_len" in need:
+        from strsim_tpu.ops.lcs import lcs_length
+
+        out["lcs_len"] = lcs_length(a, b, len_a, len_b)
     if "eq" in need:
         out["eq"] = row_equal(a, b, len_a, len_b)
     return out
