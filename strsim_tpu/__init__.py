@@ -44,6 +44,7 @@ from strsim_tpu.api import (
     overlap,
     hamming,
     lcs_seq,
+    indel,
     compute,
     compute_many,
     compute_with_validity,
@@ -69,6 +70,7 @@ __all__ = [
     "overlap",
     "hamming",
     "lcs_seq",
+    "indel",
     "compute",
     "compute_many",
     "compute_with_validity",

@@ -123,3 +123,4 @@ cosine = _measure_fn("cosine")
 overlap = _measure_fn("overlap")
 hamming = _measure_fn("hamming")
 lcs_seq = _measure_fn("lcs_seq")
+indel = _measure_fn("indel")

@@ -42,7 +42,7 @@ MEASURES: Dict[str, Measure] = {
         # extensions: char-multiset cosine/overlap (reuse the inter stat —
         # free when fused with jaccard/dice), positional hamming, and
         # bit-parallel LCS similarity (ops/lcs.py)
-        "cosine", "overlap", "hamming", "lcs_seq",
+        "cosine", "overlap", "hamming", "lcs_seq", "indel",
     )
 }
 

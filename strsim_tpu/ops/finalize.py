@@ -157,6 +157,19 @@ def finalize_lcs_seq(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarra
     return np.where(both_empty, 1.0, sim)
 
 
+def finalize_indel(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: normalized indel similarity — 2*lcs / (la + lb) (edit
+    distance restricted to insertions/deletions; shares the lcs_len stat
+    with lcs_seq)."""
+    both_empty = (la == 0) & (lb == 0)
+    any_empty = (la == 0) | (lb == 0)
+    lcs = stats["lcs_len"].astype(np.int64)
+    den = np.maximum(la.astype(np.int64) + lb.astype(np.int64), 1)
+    sim = (2.0 * _as_f64(lcs)) / _as_f64(den)
+    sim = np.where(any_empty, 0.0, sim)
+    return np.where(both_empty, 1.0, sim)
+
+
 FINALIZERS = {
     "levenshtein": finalize_levenshtein,
     "jaro": finalize_jaro,
@@ -169,6 +182,7 @@ FINALIZERS = {
     "overlap": finalize_overlap,
     "hamming": finalize_hamming,
     "lcs_seq": finalize_lcs_seq,
+    "indel": finalize_indel,
 }
 
 

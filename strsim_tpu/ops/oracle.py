@@ -235,6 +235,18 @@ def lcs_seq(a: str, b: str) -> float:
     return lcs_length(a, b) / max(len(a), len(b))
 
 
+def indel(a: str, b: str) -> float:
+    """EXTENSION: normalized indel similarity — 1 - dist/(la+lb) with
+    dist = la + lb - 2*lcs, i.e. 2*lcs / (la + lb) (the rapidfuzz Indel
+    normalized_similarity convention: edit distance with insertions and
+    deletions only)."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return 2.0 * lcs_length(a, b) / (len(a) + len(b))
+
+
 ORACLES = {
     "levenshtein": levenshtein,
     "jaro": jaro,
@@ -247,4 +259,5 @@ ORACLES = {
     "overlap": overlap,
     "hamming": hamming,
     "lcs_seq": lcs_seq,
+    "indel": indel,
 }

@@ -287,6 +287,7 @@ STAT_FIELDS = {
     "overlap": ("inter",),
     "hamming": ("ham_m",),
     "lcs_seq": ("lcs_len",),
+    "indel": ("lcs_len",),
 }
 
 

@@ -10,7 +10,7 @@ import pytest
 import strsim_tpu as st
 from strsim_tpu.ops.oracle import ORACLES
 
-EXT_MEASURES = ("cosine", "overlap", "hamming", "lcs_seq")
+EXT_MEASURES = ("cosine", "overlap", "hamming", "lcs_seq", "indel")
 
 
 def _corpus(n=400):
@@ -97,7 +97,7 @@ def test_fused_with_core_measures(corpus):
     (cosine/overlap share the inter stat with jaccard/dice)."""
     col_a = [a for a, _ in corpus]
     col_b = [b for _, b in corpus]
-    measures = ("jaccard", "cosine", "overlap", "lcs_seq", "hamming")
+    measures = ("jaccard", "cosine", "overlap", "lcs_seq", "indel", "hamming")
     out = st.compute_many(measures, col_a, col_b)
     for m in measures:
         want = np.array([ORACLES[m](a, b) for a, b in corpus])
