@@ -45,6 +45,7 @@ from strsim_tpu.api import (
     hamming,
     lcs_seq,
     indel,
+    osa,
     compute,
     compute_many,
     compute_with_validity,
@@ -71,6 +72,7 @@ __all__ = [
     "hamming",
     "lcs_seq",
     "indel",
+    "osa",
     "compute",
     "compute_many",
     "compute_with_validity",

@@ -124,3 +124,4 @@ overlap = _measure_fn("overlap")
 hamming = _measure_fn("hamming")
 lcs_seq = _measure_fn("lcs_seq")
 indel = _measure_fn("indel")
+osa = _measure_fn("osa")

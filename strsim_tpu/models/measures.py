@@ -43,6 +43,9 @@ MEASURES: Dict[str, Measure] = {
         # free when fused with jaccard/dice), positional hamming, and
         # bit-parallel LCS similarity (ops/lcs.py)
         "cosine", "overlap", "hamming", "lcs_seq", "indel",
+        # extension: OSA / restricted Damerau-Levenshtein (bit-parallel
+        # Hyyrö kernel, ops/osa_myers.py)
+        "osa",
     )
 }
 

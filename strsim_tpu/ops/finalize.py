@@ -170,6 +170,18 @@ def finalize_indel(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray)
     return np.where(both_empty, 1.0, sim)
 
 
+def finalize_osa(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: OSA similarity 1 - osa_d/max(la, lb) — same arithmetic
+    order and empty guards as finalize_levenshtein."""
+    both_empty = (la == 0) & (lb == 0)
+    any_empty = (la == 0) | (lb == 0)
+    maxlen = np.maximum(la, lb)
+    d = np.where(any_empty, maxlen, stats["osa_d"])
+    safe_max = np.maximum(maxlen, 1)
+    sim = 1.0 - (_as_f64(d) / _as_f64(safe_max))
+    return np.where(both_empty, 1.0, sim)
+
+
 FINALIZERS = {
     "levenshtein": finalize_levenshtein,
     "jaro": finalize_jaro,
@@ -183,6 +195,7 @@ FINALIZERS = {
     "hamming": finalize_hamming,
     "lcs_seq": finalize_lcs_seq,
     "indel": finalize_indel,
+    "osa": finalize_osa,
 }
 
 

@@ -247,6 +247,40 @@ def indel(a: str, b: str) -> float:
     return 2.0 * lcs_length(a, b) / (len(a) + len(b))
 
 
+def osa_distance(a: str, b: str) -> int:
+    """OSA (restricted Damerau-Levenshtein) distance: unit-cost edit distance
+    with adjacent-transposition, no substring edited twice (classic 3-row DP)."""
+    ca, cb = list(a), list(b)
+    la, lb = len(ca), len(cb)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev2 = [0] * (lb + 1)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ai = ca[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ai == cb[j - 1] else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and ai == cb[j - 2] and ca[i - 2] == cb[j - 1]:
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def osa(a: str, b: str) -> float:
+    """EXTENSION: OSA similarity — 1 - osa_distance/max(la, lb) (the
+    restricted Damerau-Levenshtein most libraries call 'damerau'; same
+    normalization and empty/equal semantics as levenshtein)."""
+    if (not a and not b) or a == b:
+        return 1.0
+    la, lb = len(list(a)), len(list(b))
+    return 1.0 - (osa_distance(a, b) / max(la, lb))
+
+
 ORACLES = {
     "levenshtein": levenshtein,
     "jaro": jaro,
@@ -260,4 +294,5 @@ ORACLES = {
     "hamming": hamming,
     "lcs_seq": lcs_seq,
     "indel": indel,
+    "osa": osa,
 }

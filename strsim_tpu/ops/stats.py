@@ -288,6 +288,7 @@ STAT_FIELDS = {
     "hamming": ("ham_m",),
     "lcs_seq": ("lcs_len",),
     "indel": ("lcs_len",),
+    "osa": ("osa_d",),
 }
 
 
@@ -397,6 +398,10 @@ def compute_stats(
         from strsim_tpu.ops.lcs import lcs_length
 
         out["lcs_len"] = lcs_length(a, b, len_a, len_b)
+    if "osa_d" in need:
+        from strsim_tpu.ops.osa_myers import osa_distance_myers
+
+        out["osa_d"] = osa_distance_myers(a, b, len_a, len_b)
     if "eq" in need:
         out["eq"] = row_equal(a, b, len_a, len_b)
     return out

@@ -10,7 +10,7 @@ import pytest
 import strsim_tpu as st
 from strsim_tpu.ops.oracle import ORACLES
 
-EXT_MEASURES = ("cosine", "overlap", "hamming", "lcs_seq", "indel")
+EXT_MEASURES = ("cosine", "overlap", "hamming", "lcs_seq", "indel", "osa")
 
 
 def _corpus(n=400):
@@ -79,6 +79,48 @@ def test_lcs_kernel_matches_dp(corpus):
         np.testing.assert_array_equal(got, want)
 
 
+def test_osa_known_values():
+    """Transposition semantics: adjacent swap costs 1; the classic OSA-vs-
+    unrestricted-Damerau separator ca/abc costs 3 (no substring edited twice)."""
+    from strsim_tpu.ops.oracle import osa_distance
+
+    assert osa_distance("ab", "ba") == 1
+    assert osa_distance("ca", "abc") == 3  # unrestricted Damerau would be 2
+    assert osa_distance("abcdef", "abdcef") == 1
+    assert osa_distance("kitten", "sitting") == 3  # no transpositions: = lev
+    assert st.osa(["ab"], ["ba"])[0] == 0.5
+
+
+def test_osa_kernel_matches_oracle_dp(corpus):
+    """The bit-parallel Hyyrö D0 kernel vs the classic 3-row OSA DP, through
+    the encode path (covers multiword widths W=1/2/3 — the cross-word TR and
+    HP/HN shift carries — plus empties and unicode)."""
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.oracle import osa_distance
+    from strsim_tpu.ops.osa_myers import osa_distance_myers
+    from strsim_tpu.utils import encode as enc
+
+    for width in (15, 63, 70):
+        pairs = [
+            (a, b)
+            for a, b in corpus
+            if max(len(a), len(b)) <= width and len(a) >= 1 and len(b) >= 1
+        ]
+        ca = enc.encode_column([p[0] for p in pairs], pad=enc.PAD_A, width=width)
+        cb = enc.encode_column([p[1] for p in pairs], pad=enc.PAD_B, width=width)
+        got = np.asarray(
+            osa_distance_myers(
+                jnp.asarray(ca.codes),
+                jnp.asarray(cb.codes),
+                jnp.asarray(ca.lengths),
+                jnp.asarray(cb.lengths),
+            )
+        )
+        want = np.array([osa_distance(a, b) for a, b in pairs])
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("measure", EXT_MEASURES)
 def test_pipeline_matches_oracle_bit_exact(corpus, measure):
     col_a = [a for a, _ in corpus]
@@ -97,7 +139,7 @@ def test_fused_with_core_measures(corpus):
     (cosine/overlap share the inter stat with jaccard/dice)."""
     col_a = [a for a, _ in corpus]
     col_b = [b for _, b in corpus]
-    measures = ("jaccard", "cosine", "overlap", "lcs_seq", "indel", "hamming")
+    measures = ("jaccard", "cosine", "overlap", "lcs_seq", "indel", "hamming", "osa")
     out = st.compute_many(measures, col_a, col_b)
     for m in measures:
         want = np.array([ORACLES[m](a, b) for a, b in corpus])
