@@ -84,6 +84,55 @@ def sorensen_dice_bigram_device(stats: Dict[str, Array], la: Array, lb: Array) -
     return jnp.where((na == 0) | (nb == 0), 0.0, sim)
 
 
+def cosine_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    both, any_ = _empties(la, lb)
+    inter = stats["inter"]
+    den = jnp.sqrt((la * lb).astype(jnp.float32))
+    sim = inter.astype(jnp.float32) / jnp.maximum(den, 1.0)
+    sim = jnp.where(any_, 0.0, sim)
+    return jnp.where(both, 1.0, sim)
+
+
+def overlap_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    both, any_ = _empties(la, lb)
+    inter = stats["inter"]
+    den = jnp.maximum(jnp.minimum(la, lb), 1)
+    sim = inter.astype(jnp.float32) / den.astype(jnp.float32)
+    sim = jnp.where(any_, 0.0, sim)
+    return jnp.where(both, 1.0, sim)
+
+
+def hamming_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    both, _ = _empties(la, lb)
+    den = jnp.maximum(jnp.maximum(la, lb), 1)
+    sim = stats["ham_m"].astype(jnp.float32) / den.astype(jnp.float32)
+    return jnp.where(both, 1.0, sim)
+
+
+def lcs_seq_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    both, any_ = _empties(la, lb)
+    den = jnp.maximum(jnp.maximum(la, lb), 1)
+    sim = stats["lcs_len"].astype(jnp.float32) / den.astype(jnp.float32)
+    sim = jnp.where(any_, 0.0, sim)
+    return jnp.where(both, 1.0, sim)
+
+
+def indel_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    both, any_ = _empties(la, lb)
+    den = jnp.maximum(la + lb, 1)
+    sim = 2.0 * stats["lcs_len"].astype(jnp.float32) / den.astype(jnp.float32)
+    sim = jnp.where(any_, 0.0, sim)
+    return jnp.where(both, 1.0, sim)
+
+
+def osa_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    both, any_ = _empties(la, lb)
+    maxlen = jnp.maximum(la, lb)
+    d = jnp.where(any_, maxlen, stats["osa_d"])
+    sim = 1.0 - d.astype(jnp.float32) / jnp.maximum(maxlen, 1).astype(jnp.float32)
+    return jnp.where(both, 1.0, sim)
+
+
 DEVICE_FINALIZERS = {
     "levenshtein": levenshtein_device,
     "jaro": jaro_device,
@@ -94,6 +143,12 @@ DEVICE_FINALIZERS = {
     # the "equal -> 1.0" semantics (incl. bigram-less length-1 equal pairs)
     "jaccard_bigram": jaccard_bigram_device,
     "sorensen_dice_bigram": sorensen_dice_bigram_device,
+    "cosine": cosine_device,
+    "overlap": overlap_device,
+    "hamming": hamming_device,
+    "lcs_seq": lcs_seq_device,
+    "indel": indel_device,
+    "osa": osa_device,
 }
 
 
