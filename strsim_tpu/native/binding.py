@@ -14,6 +14,15 @@ MEASURE_IDS = {
     "jaro_winkler": 2,
     "jaccard": 3,
     "sorensen_dice": 4,
+    # extension measures (ids must match strsim_host.cpp compute_range)
+    "jaccard_bigram": 5,
+    "sorensen_dice_bigram": 6,
+    "cosine": 7,
+    "overlap": 8,
+    "hamming": 9,
+    "lcs_seq": 10,
+    "indel": 11,
+    "osa": 12,
 }
 
 

@@ -25,6 +25,7 @@
 #endif
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -445,10 +446,12 @@ int64_t strsim_encode_object_column(void* const* objs, int64_t n,
 namespace {
 
 struct Scratch {
-  std::vector<int64_t> dp0, dp1;
+  std::vector<int64_t> dp0, dp1, dp2;
   std::vector<uint8_t> flag_a, flag_b;
   std::vector<int32_t> ord_a, ord_b;
   std::unordered_map<int32_t, std::pair<int32_t, int32_t>> counts;
+  // bigram multiset counts: key = (first codepoint << 32) | second
+  std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> counts2;
 };
 
 inline bool rows_equal(const int32_t* a, int64_t la, const int32_t* b,
@@ -564,6 +567,135 @@ double dice_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
   return 2.0 * static_cast<double>(num) / static_cast<double>(la + lb);
 }
 
+// ---- EXTENSION measures (not in the reference; each mirrors the Python
+// oracle's f64 evaluation order exactly, ops/oracle.py, so the native host
+// fallback stays bit-identical to the oracle/finalizer contract) ----
+
+double cosine_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                  Scratch& s) {
+  if ((la == 0 && lb == 0) || rows_equal(a, la, b, lb)) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  count_pair(a, la, b, lb, s);
+  int64_t num = 0;
+  for (auto& kv : s.counts) num += std::min(kv.second.first, kv.second.second);
+  return static_cast<double>(num) / std::sqrt(static_cast<double>(la * lb));
+}
+
+double overlap_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                   Scratch& s) {
+  if ((la == 0 && lb == 0) || rows_equal(a, la, b, lb)) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  count_pair(a, la, b, lb, s);
+  int64_t num = 0;
+  for (auto& kv : s.counts) num += std::min(kv.second.first, kv.second.second);
+  return static_cast<double>(num) / static_cast<double>(std::min(la, lb));
+}
+
+double hamming_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                   Scratch&) {
+  if (la == 0 && lb == 0) return 1.0;
+  int64_t m = 0;
+  int64_t lo = std::min(la, lb);
+  for (int64_t i = 0; i < lo; ++i) m += (a[i] == b[i]);
+  return static_cast<double>(m) / static_cast<double>(std::max(la, lb));
+}
+
+int64_t lcs_len(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                Scratch& s) {
+  s.dp0.assign(lb + 1, 0);
+  s.dp1.assign(lb + 1, 0);
+  for (int64_t i = 0; i < la; ++i) {
+    int32_t ai = a[i];
+    for (int64_t j = 0; j < lb; ++j) {
+      s.dp1[j + 1] =
+          (ai == b[j]) ? s.dp0[j] + 1 : std::max(s.dp0[j + 1], s.dp1[j]);
+    }
+    std::swap(s.dp0, s.dp1);
+  }
+  return s.dp0[lb];
+}
+
+double lcs_seq_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                   Scratch& s) {
+  if (la == 0 && lb == 0) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  return static_cast<double>(lcs_len(a, la, b, lb, s)) /
+         static_cast<double>(std::max(la, lb));
+}
+
+double indel_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                 Scratch& s) {
+  if (la == 0 && lb == 0) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  return 2.0 * static_cast<double>(lcs_len(a, la, b, lb, s)) /
+         static_cast<double>(la + lb);
+}
+
+double osa_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+               Scratch& s) {
+  if ((la == 0 && lb == 0) || rows_equal(a, la, b, lb)) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  // restricted Damerau-Levenshtein: classic 3-row DP (dp2 = row i-2)
+  s.dp2.assign(lb + 1, 0);
+  s.dp0.resize(lb + 1);
+  s.dp1.resize(lb + 1);
+  for (int64_t j = 0; j <= lb; ++j) s.dp0[j] = j;
+  for (int64_t i = 0; i < la; ++i) {
+    s.dp1[0] = i + 1;
+    int32_t ai = a[i];
+    for (int64_t j = 0; j < lb; ++j) {
+      int64_t sub = (ai == b[j]) ? s.dp0[j] : s.dp0[j] + 1;
+      int64_t d = std::min(sub, std::min(s.dp0[j + 1], s.dp1[j]) + 1);
+      if (i > 0 && j > 0 && ai == b[j - 1] && a[i - 1] == b[j])
+        d = std::min(d, s.dp2[j - 1] + 1);
+      s.dp1[j + 1] = d;
+    }
+    std::swap(s.dp2, s.dp0);
+    std::swap(s.dp0, s.dp1);
+  }
+  return 1.0 -
+         (static_cast<double>(s.dp0[lb]) / static_cast<double>(std::max(la, lb)));
+}
+
+void count_bigrams(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                   Scratch& s) {
+  s.counts2.clear();
+  for (int64_t i = 0; i + 1 < la; ++i)
+    s.counts2[(static_cast<uint64_t>(static_cast<uint32_t>(a[i])) << 32) |
+              static_cast<uint32_t>(a[i + 1])]
+        .first++;
+  for (int64_t j = 0; j + 1 < lb; ++j)
+    s.counts2[(static_cast<uint64_t>(static_cast<uint32_t>(b[j])) << 32) |
+              static_cast<uint32_t>(b[j + 1])]
+        .second++;
+}
+
+double jaccard_bigram_sim(const int32_t* a, int64_t la, const int32_t* b,
+                          int64_t lb, Scratch& s) {
+  if (rows_equal(a, la, b, lb)) return 1.0;
+  int64_t na = std::max<int64_t>(la - 1, 0);
+  int64_t nb = std::max<int64_t>(lb - 1, 0);
+  if (na == 0 || nb == 0) return 0.0;
+  count_bigrams(a, la, b, lb, s);
+  int64_t inter = 0;
+  for (auto& kv : s.counts2)
+    inter += std::min(kv.second.first, kv.second.second);
+  return static_cast<double>(inter) / static_cast<double>(na + nb - inter);
+}
+
+double dice_bigram_sim(const int32_t* a, int64_t la, const int32_t* b,
+                       int64_t lb, Scratch& s) {
+  if (rows_equal(a, la, b, lb)) return 1.0;
+  int64_t na = std::max<int64_t>(la - 1, 0);
+  int64_t nb = std::max<int64_t>(lb - 1, 0);
+  if (na == 0 || nb == 0) return 0.0;
+  count_bigrams(a, la, b, lb, s);
+  int64_t inter = 0;
+  for (auto& kv : s.counts2)
+    inter += std::min(kv.second.first, kv.second.second);
+  return 2.0 * static_cast<double>(inter) / static_cast<double>(na + nb);
+}
+
 }  // namespace
 
 extern "C" {
@@ -592,6 +724,14 @@ void compute_range(int32_t measure, const int32_t* codes_a,
       case 2: out[r] = jaro_winkler_sim(a, la, b, lb, s); break;
       case 3: out[r] = jaccard_sim(a, la, b, lb, s); break;
       case 4: out[r] = dice_sim(a, la, b, lb, s); break;
+      case 5: out[r] = jaccard_bigram_sim(a, la, b, lb, s); break;
+      case 6: out[r] = dice_bigram_sim(a, la, b, lb, s); break;
+      case 7: out[r] = cosine_sim(a, la, b, lb, s); break;
+      case 8: out[r] = overlap_sim(a, la, b, lb, s); break;
+      case 9: out[r] = hamming_sim(a, la, b, lb, s); break;
+      case 10: out[r] = lcs_seq_sim(a, la, b, lb, s); break;
+      case 11: out[r] = indel_sim(a, la, b, lb, s); break;
+      case 12: out[r] = osa_sim(a, la, b, lb, s); break;
       default: out[r] = -1.0;
     }
   }
@@ -600,6 +740,8 @@ void compute_range(int32_t measure, const int32_t* codes_a,
 }  // namespace
 
 // measure: 0=levenshtein 1=jaro 2=jaro_winkler 3=jaccard 4=sorensen_dice
+//          5=jaccard_bigram 6=sorensen_dice_bigram 7=cosine 8=overlap
+//          9=hamming 10=lcs_seq 11=indel 12=osa (extensions)
 // Ragged layout: codes_* concatenated codepoints, off_*: n+1 offsets.
 // validity: optional; null rows produce NaN. Single-threaded by design —
 // this is the per-core baseline the TPU engine is measured against.

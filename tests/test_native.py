@@ -54,6 +54,34 @@ def test_native_kernels_bitexact_vs_oracle(golden, measure):
     assert got.tobytes() == want.tobytes()
 
 
+def test_native_extension_kernels_bitexact_vs_oracle():
+    """Every registered measure (core + extensions) has a native scalar
+    kernel bit-identical to the Python oracle — random unicode corpus plus
+    the transposition/bigram edge rows."""
+    import random
+
+    from strsim_tpu.models.measures import MEASURE_NAMES
+
+    rng = random.Random(23)
+    alphabets = ["ab", "abcdefgh", "aé日𝄞x"]
+    pairs = []
+    for i in range(300):
+        alpha = alphabets[i % 3]
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 40)))
+        if i % 11 == 0:
+            b = a
+        pairs.append((a, b))
+    pairs += [("", ""), ("", "x"), ("x", ""), ("a", "a"), ("ab", "ba"),
+              ("ca", "abc"), ("q", "q")]
+    col_a = [a for a, _ in pairs]
+    col_b = [b for _, b in pairs]
+    for measure in MEASURE_NAMES:
+        got = native_compute_strings(measure, col_a, col_b)
+        want = np.array([ORACLES[measure](a, b) for a, b in pairs])
+        assert got.tobytes() == want.tobytes(), measure
+
+
 def test_native_null_rows_nan():
     got = native_compute_strings("jaro", ["a", None], ["a", "b"])
     assert got[0] == 1.0 and np.isnan(got[1])
