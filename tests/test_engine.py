@@ -51,6 +51,26 @@ def test_polars_expression_layer(name, pl):
 
 
 @pytest.mark.parametrize("name,pl", _backends())
+def test_expression_layer_extension_measures(name, pl):
+    """Extension measures ride the same expression plumbing as the core five."""
+    from strsim_tpu.ops.oracle import ORACLES
+
+    rows = [("ab", "ba"), ("night", "nacht"), ("phillips", "philips")]
+    df = pl.DataFrame(
+        {"a": [r[0] for r in rows] + [None], "b": [r[1] for r in rows] + ["x"]}
+    ).with_columns(
+        osa=st.osa(pl.col("a"), pl.col("b")),
+        cos=st.cosine(pl.col("a"), pl.col("b")),
+        lcs=st.lcs_seq(pl.col("a"), pl.col("b")),
+    )
+    for out_name, m in (("osa", "osa"), ("cos", "cosine"), ("lcs", "lcs_seq")):
+        got = df[out_name].to_list()
+        for i, (x, y) in enumerate(rows):
+            assert got[i] == ORACLES[m](x, y), (m, x, y)
+        assert got[3] is None
+
+
+@pytest.mark.parametrize("name,pl", _backends())
 def test_polars_literal_broadcast(name, pl):
     from strsim_tpu import levenshtein
 
