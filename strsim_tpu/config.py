@@ -58,6 +58,11 @@ class StrsimConfig:
     levenshtein_impl: str = "auto"
     jaro_impl: str = "bitmask"
     multiset_impl: str = "auto"
+    # osa (extension): "auto" = Pallas VMEM-resident Hyyrö scan on TPU at
+    # widths <= 63 (measured +29..157% over the XLA kernel on v5e,
+    # tools/ab_osa_pallas.py), XLA kernel elsewhere; "myers" | "pallas_scan"
+    # force one.
+    osa_impl: str = "auto"
 
     # Pallas grid block size (rows per grid step). Must be a multiple of 8.
     pallas_block_rows: int = 256

@@ -81,11 +81,27 @@ def _lev_impl_for(cfg: StrsimConfig, width: int) -> str:
     return impl
 
 
+def _osa_impl_for(cfg: StrsimConfig, width: int) -> str:
+    """Resolve the effective osa kernel for a bucket width — same "auto"
+    policy as levenshtein: Pallas VMEM-resident Hyyrö scan on TPU at widths
+    <= 63 (measured +29..157% on v5e, tools/ab_osa_pallas.py), XLA kernel
+    everywhere else."""
+    impl = cfg.osa_impl
+    if impl == "auto":
+        from strsim_tpu.ops.osa_pallas_scan import supports_width
+
+        if supports_width(width) and jax.default_backend() == "tpu":
+            return "pallas_scan"
+        return "myers"
+    return impl
+
+
 def _impls_for(cfg: StrsimConfig, width: int) -> Tuple[Tuple[str, str], ...]:
     return (
         ("levenshtein", _lev_impl_for(cfg, width)),
         ("jaro", cfg.jaro_impl),
         ("multiset", _multiset_impl_for(cfg, width)),
+        ("osa", _osa_impl_for(cfg, width)),
     )
 
 

@@ -399,9 +399,20 @@ def compute_stats(
 
         out["lcs_len"] = lcs_length(a, b, len_a, len_b)
     if "osa_d" in need:
-        from strsim_tpu.ops.osa_myers import osa_distance_myers
+        osa_impl = impl.get("osa", "myers")
+        if osa_impl == "pallas_scan":
+            from strsim_tpu.ops import osa_pallas_scan as ops
 
-        out["osa_d"] = osa_distance_myers(a, b, len_a, len_b)
+            if not ops.supports_width(a.shape[1]):
+                from strsim_tpu.ops.osa_myers import osa_distance_myers
+
+                out["osa_d"] = osa_distance_myers(a, b, len_a, len_b)
+            else:
+                out["osa_d"] = ops.osa_distance_pallas(a, b, len_a, len_b)
+        else:  # "myers" (default) — XLA bit-parallel Hyyrö kernel
+            from strsim_tpu.ops.osa_myers import osa_distance_myers
+
+            out["osa_d"] = osa_distance_myers(a, b, len_a, len_b)
     if "eq" in need:
         out["eq"] = row_equal(a, b, len_a, len_b)
     return out

@@ -133,6 +133,45 @@ def test_pallas_scan_fuzz_matches_xla_myers(width):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("width", [7, 15, 23, 31])
+def test_pallas_osa_scan_fuzz_matches_xla(width):
+    """Pallas OSA scan vs the XLA Hyyrö kernel on the W=1 width bands —
+    incl. adjacent-swap pairs (the TR vector), empty sides, equal pairs, and
+    a batch not divisible by 8. The W=2 multiword variant has the same
+    interpret limitation as the levenshtein scan (see above); its
+    correctness evidence is the 262K-row bit-exact TPU parity run in
+    tools/ab_osa_pallas.py."""
+    from strsim_tpu.ops.osa_myers import osa_distance_myers
+    from strsim_tpu.ops.osa_pallas_scan import osa_distance_pallas
+
+    rng = random.Random(width * 3 + 1)
+    pairs = []
+    for i in range(203):  # odd count: exercises the sublane pad path
+        la = rng.randrange(0, width + 1)
+        lb = rng.randrange(0, width + 1)
+        a = "".join(rng.choice("abcd") for _ in range(la))
+        b = "".join(rng.choice("abcd") for _ in range(lb))
+        if i % 11 == 0:
+            b = a
+        if i % 13 == 0 and len(a) > 2:  # adjacent transposition rows
+            k = rng.randrange(len(a) - 1)
+            b = a[:k] + a[k + 1] + a[k] + a[k + 2:]
+        pairs.append((a, b))
+    ca, cb, la, lb = _tiles(pairs, width=width)
+    got = np.asarray(osa_distance_pallas(ca, cb, la, lb, interpret=True))
+    want = np.asarray(osa_distance_myers(ca, cb, la, lb))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_osa_scan_rejects_wide():
+    from strsim_tpu.ops.osa_pallas_scan import osa_distance_pallas, supports_width
+
+    assert supports_width(64) and not supports_width(65)
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=95)
+    with pytest.raises(ValueError):
+        osa_distance_pallas(ca, cb, la, lb, interpret=True)
+
+
 def test_pallas_scan_rejects_wide():
     from strsim_tpu.ops.levenshtein_pallas_scan import (
         levenshtein_distance_myers_pallas,
