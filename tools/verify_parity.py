@@ -5,7 +5,9 @@ Checks, through the full public pipeline (device kernels included):
      tolerance (1e-8, src/expressions/strsim.rs:350);
   2. bit-for-float agreement with the host oracle on the same corpus;
   3. the README demo table (README.md:59-72) including null/empty rows;
-  4. broadcast + shape-error semantics.
+  4. broadcast + shape-error semantics;
+  5. the eight extension measures bit-exact vs their oracles on a mixed
+     random + edge-row corpus (through the device kernels, fast paths off).
 
 Usage: python tools/verify_parity.py   (add STRSIM_FORCE_CPU=1 to skip TPU)
 """
@@ -73,6 +75,36 @@ def main() -> int:
     bc_ok = bc[0] == 1.0 and abs(bc[1] - 0.8) < 1e-12
     print(f"{'OK ' if bc_ok else 'FAIL'} length-1 literal broadcast")
     failures += 0 if bc_ok else 1
+
+    import random
+
+    from strsim_tpu.models.measures import MEASURE_NAMES
+
+    ext = tuple(m for m in MEASURE_NAMES if m not in CORE)
+    rng = random.Random(2026)
+    alphabets = ["ab", "abcdefgh", "aé日𝄞x"]
+    pairs = []
+    for i in range(400):
+        alpha = alphabets[i % 3]
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60)))
+        if i % 13 == 0:
+            b = a
+        if i % 17 == 0 and len(a) > 2:
+            k = rng.randrange(len(a) - 1)
+            b = a[:k] + a[k + 1] + a[k] + a[k + 2:]
+        pairs.append((a, b))
+    pairs += [("", ""), ("", "x"), ("x", ""), ("a", "a"), ("ab", "ba"), ("ca", "abc")]
+    col_a = [a for a, _ in pairs]
+    col_b = [b for _, b in pairs]
+    kcfg = st.get_config().replace(equal_fast_path=False, host_short_circuit_rows=0)
+    for measure in ext:
+        got = st.compute(measure, col_a, col_b, config=kcfg)
+        want = np.array([ORACLES[measure](a, b) for a, b in pairs])
+        ok = got.tobytes() == want.tobytes()
+        print(f"{'OK ' if ok else 'FAIL'} {measure:20s} {len(pairs):4d} cases | "
+              f"bit-exact vs oracle (device kernels): {ok}")
+        failures += 0 if ok else 1
 
     print(f"\n{total} golden cases; {'ALL CHECKS PASSED' if failures == 0 else f'{failures} CHECK GROUPS FAILED'}")
     return 1 if failures else 0
