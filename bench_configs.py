@@ -34,7 +34,13 @@ def _encode(col_a, col_b):
     return enc._repad(a, enc.PAD_A, w), enc._repad(b, enc.PAD_B, w)
 
 
-def _timed(measures, a, b, warm_slice=4096):
+def _timed(measures, a, b, warm_slice=None):
+    # the warm slice must EXCEED the host short-circuit threshold, or it
+    # never touches the device and the timed run pays cold compile (the
+    # round-2 197s→63s config-2 artifact was exactly this)
+    from strsim_tpu.config import get_config
+
+    warm_slice = warm_slice or 2 * get_config().host_short_circuit_rows
     compute_scores(a.slice(0, min(warm_slice, a.n)), b.slice(0, min(warm_slice, b.n)), measures)
     metrics = RunMetrics()
     t0 = time.perf_counter()
