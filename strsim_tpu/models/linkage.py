@@ -1,4 +1,4 @@
-"""Record-linkage helper: top-k candidate matching.
+"""Record-linkage helpers: top-k candidate matching, single- and multi-field.
 
 For every query string, find the k best-scoring candidate strings under a
 similarity measure — the inner loop of deduplication / entity-resolution
@@ -7,13 +7,21 @@ Q×C cross product is generated and scored on device, with a device-side
 lax.scan carrying the running top-k across candidate blocks so each
 query-block costs ONE dispatch and only [Q, k] results leave the chip).
 
+`top_k_matches_multi` extends this to full RECORDS: several string fields per
+record (given name, surname, town, ...), each scored with its own measure and
+weight, combined into one ensemble score on device — the standard shape of a
+genealogy / entity-resolution blocking pass. Null fields follow the
+`missing` policy ("renormalize": reweight over the fields present on both
+sides; "zero": absent fields contribute 0 against the full weight sum).
+
 Scores are the device-resident f32 path (ops/finalize_device) — ranking is
 insensitive to the ≤1-ulp-of-f32 difference from the exact host scores; use
-compute_scores on the matched pairs afterwards if exact f64 values are needed.
+`compute`/`ensemble_scores` on the matched pairs afterwards if exact f64
+values are needed.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -94,8 +102,10 @@ def top_k_matches(
             np.full((Q, kk), -1, dtype=np.int64),
             np.full((Q, kk), np.nan, dtype=np.float32),
         )
-    cb = min(candidate_block, max(C, 1))
     k_eff = min(k, C)
+    # the scan carries [qb, min(k, cb)] — cb must cover k or the merged
+    # top-k would be narrower than the requested output
+    cb = min(max(candidate_block, k_eff), max(C, 1))
     qb = min(query_block, max(Q, 1))
 
     # stage candidate blocks on device ONCE (shared across query blocks)
@@ -138,3 +148,240 @@ def top_k_matches(
     best_idx[no_match] = -1
     out_scores[no_match & ~invalid_q[:, None]] = np.nan
     return best_idx, out_scores
+
+
+# --------------------------------------------------------------------------
+# Multi-field (record-level) ensemble matching
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _scan_scorer_multi(measures: Tuple[str, ...], weights: Tuple[float, ...],
+                       k: int, missing: str):
+    from strsim_tpu.ops.finalize_device import scores_on_device
+
+    F = len(measures)
+    w_total = np.float32(sum(weights))
+
+    @jax.jit
+    def score_all(q_codes, q_len, q_valid, c_blocks, c_len_blocks,
+                  c_valid_blocks, c_offsets):
+        """Per-field tuples: q_codes[f] [qb, Wf]; c_blocks[f] [NB, cb, Wf].
+        Returns ([qb, k] ensemble scores, [qb, k] global candidate indices);
+        the running top-k is carried on device across candidate blocks."""
+        qb = q_codes[0].shape[0]
+        cb = c_blocks[0].shape[1]
+        kk = min(k, cb)
+
+        def step(carry, xs):
+            best_v, best_i = carry
+            ccs, cls, cvs, off = xs
+            num = jnp.zeros((qb, cb), jnp.float32)
+            den = jnp.zeros((qb, cb), jnp.float32)
+            any_valid = jnp.zeros((qb, cb), bool)
+            for f in range(F):
+                a = jnp.repeat(q_codes[f], cb, axis=0)
+                la = jnp.repeat(q_len[f], cb)
+                b = jnp.tile(ccs[f], (qb, 1))
+                lb = jnp.tile(cls[f], qb)
+                s = scores_on_device(a, b, la, lb, (measures[f],))[
+                    measures[f]
+                ].reshape(qb, cb)
+                valid = q_valid[f][:, None] & cvs[f][None, :]
+                w = np.float32(weights[f])
+                num = num + jnp.where(valid, s * w, 0.0)
+                den = den + jnp.where(valid, w, 0.0)
+                any_valid = any_valid | valid
+            if missing == "zero":
+                # absent fields count as 0 similarity against the full
+                # weight mass (a record missing a field is penalized)
+                den = jnp.where(any_valid, w_total, 0.0)
+            s = jnp.where(any_valid & (den > 0), num / den, -jnp.inf)
+            vals, idx = lax.top_k(s, kk)
+            merged_v = jnp.concatenate([best_v, vals], axis=1)
+            merged_i = jnp.concatenate([best_i, idx.astype(jnp.int32) + off], axis=1)
+            best_v, sel = lax.top_k(merged_v, kk)
+            best_i = jnp.take_along_axis(merged_i, sel, axis=1)
+            return (best_v, best_i), None
+
+        init = (
+            jnp.full((qb, kk), -jnp.inf, jnp.float32),
+            jnp.full((qb, kk), -1, jnp.int32),
+        )
+        (best_v, best_i), _ = lax.scan(
+            step, init, (c_blocks, c_len_blocks, c_valid_blocks, c_offsets)
+        )
+        return best_v, best_i
+
+    return score_all
+
+
+def _normalize_fields(measures, weights, n_fields: int):
+    from strsim_tpu.models.measures import MEASURES
+
+    if isinstance(measures, str):
+        measures = (measures,) * n_fields
+    measures = tuple(measures)
+    if len(measures) != n_fields:
+        raise ValueError(
+            f"{n_fields} field pairs but {len(measures)} measures"
+        )
+    for m in measures:
+        if m not in MEASURES:
+            raise ValueError(f"unknown measure {m!r}")
+    if weights is None:
+        weights = (1.0,) * n_fields
+    weights = tuple(float(w) for w in weights)
+    if len(weights) != n_fields:
+        raise ValueError(f"{n_fields} field pairs but {len(weights)} weights")
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    return measures, weights
+
+
+def top_k_matches_multi(
+    query_fields: Sequence,
+    candidate_fields: Sequence,
+    measures: Union[str, Sequence[str]] = "jaro_winkler",
+    weights: Optional[Sequence[float]] = None,
+    k: int = 5,
+    missing: str = "renormalize",
+    config: Optional[StrsimConfig] = None,
+    query_block: int = 128,
+    candidate_block: int = 2048,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Record-level top-k matching over several string fields.
+
+    query_fields / candidate_fields: sequences of F string columns (one per
+    field — e.g. [given_names, surnames]); all query columns share length Q,
+    all candidate columns length C. Each field f is scored with measures[f]
+    and weighted by weights[f]; the ensemble score of a (query, candidate)
+    record pair is the weighted mean over fields where BOTH sides are
+    non-null. `missing="renormalize"` reweights over present fields;
+    `missing="zero"` keeps the full weight sum as the denominator, so a
+    missing field drags the score down. Records with no scoreable field pair
+    never match (and all-null query records return index -1 / score NaN).
+
+    Returns (indices [Q, k] int64, scores [Q, k] f32), descending.
+    """
+    if missing not in ("renormalize", "zero"):
+        raise ValueError(f"missing must be 'renormalize' or 'zero', got {missing!r}")
+    F = len(query_fields)
+    if F == 0 or len(candidate_fields) != F:
+        raise ValueError(
+            f"need matching non-empty field lists, got {F} query / "
+            f"{len(candidate_fields)} candidate fields"
+        )
+    measures, weights = _normalize_fields(measures, weights, F)
+    cfg = config or get_config()
+
+    qs, cs = [], []
+    for f in range(F):
+        q = enc.encode_column(query_fields[f], pad=enc.PAD_A)
+        c = enc.encode_column(candidate_fields[f], pad=enc.PAD_B)
+        width = max(q.width, c.width)
+        qs.append(enc._repad(q, enc.PAD_A, width))
+        cs.append(enc._repad(c, enc.PAD_B, width))
+    Q, C = qs[0].n, cs[0].n
+    if any(q.n != Q for q in qs) or any(c.n != C for c in cs):
+        raise ValueError("all field columns on a side must have equal length")
+    if Q == 0 or C == 0 or k <= 0:
+        kk = max(min(k, C), 0)
+        return (
+            np.full((Q, kk), -1, dtype=np.int64),
+            np.full((Q, kk), np.nan, dtype=np.float32),
+        )
+    k_eff = min(k, C)
+    cb = min(max(candidate_block, k_eff), max(C, 1))
+    qb = min(query_block, max(Q, 1))
+    nb = max(1, -(-C // cb))
+
+    # stage candidate blocks on device ONCE per field (shared across queries)
+    dev_c, dev_cl, dev_cv = [], [], []
+    for c in cs:
+        width = c.codes.shape[1]
+        codes = np.full((nb, cb, width), enc.PAD_B, dtype=np.int32)
+        lens = np.zeros((nb, cb), dtype=np.int32)
+        valid = np.zeros((nb, cb), dtype=bool)
+        for bidx in range(nb):
+            c0, c1 = bidx * cb, min((bidx + 1) * cb, C)
+            n = c1 - c0
+            codes[bidx, :n] = c.codes[c0:c1]
+            lens[bidx, :n] = np.where(c.validity[c0:c1], c.lengths[c0:c1], 0)
+            valid[bidx, :n] = c.validity[c0:c1]
+        dev_c.append(jnp.asarray(codes))
+        dev_cl.append(jnp.asarray(lens))
+        dev_cv.append(jnp.asarray(valid))
+    dev_off = jnp.asarray(np.arange(nb, dtype=np.int32) * cb)
+
+    scorer = _scan_scorer_multi(measures, weights, k_eff, missing)
+    best_scores = np.full((Q, k_eff), -np.inf, dtype=np.float32)
+    best_idx = np.full((Q, k_eff), -1, dtype=np.int64)
+
+    for q0 in range(0, Q, qb):
+        q1 = min(q0 + qb, Q)
+        nq = q1 - q0
+        qc, ql, qv = [], [], []
+        for q in qs:
+            width = q.codes.shape[1]
+            codes = np.full((qb, width), enc.PAD_A, dtype=np.int32)
+            codes[:nq] = q.codes[q0:q1]
+            lens = np.zeros(qb, dtype=np.int32)
+            lens[:nq] = np.where(q.validity[q0:q1], q.lengths[q0:q1], 0)
+            valid = np.zeros(qb, dtype=bool)
+            valid[:nq] = q.validity[q0:q1]
+            qc.append(jnp.asarray(codes))
+            ql.append(jnp.asarray(lens))
+            qv.append(jnp.asarray(valid))
+        vals, idx = scorer(
+            tuple(qc), tuple(ql), tuple(qv),
+            tuple(dev_c), tuple(dev_cl), tuple(dev_cv), dev_off,
+        )
+        best_scores[q0:q1] = np.asarray(vals)[:nq]
+        best_idx[q0:q1] = np.asarray(idx)[:nq].astype(np.int64)
+
+    no_match = ~np.isfinite(best_scores)
+    best_idx[no_match] = -1
+    best_scores[no_match] = np.nan
+    return best_idx, best_scores
+
+
+def ensemble_scores(
+    measures: Union[str, Sequence[str]],
+    a_fields: Sequence,
+    b_fields: Sequence,
+    weights: Optional[Sequence[float]] = None,
+    missing: str = "renormalize",
+    config: Optional[StrsimConfig] = None,
+) -> np.ndarray:
+    """Exact (f64, host-finalized) ensemble scores for ALIGNED record pairs —
+    the rescoring companion to `top_k_matches_multi`: run the top-k pass on
+    device, then rescore the matched pairs here for exact values. Null-field
+    policy matches `top_k_matches_multi`; rows with no scoreable field are
+    NaN."""
+    if missing not in ("renormalize", "zero"):
+        raise ValueError(f"missing must be 'renormalize' or 'zero', got {missing!r}")
+    from strsim_tpu.api import compute_with_validity
+
+    F = len(a_fields)
+    if F == 0 or len(b_fields) != F:
+        raise ValueError(
+            f"need matching non-empty field lists, got {F} / {len(b_fields)}"
+        )
+    measures, weights = _normalize_fields(measures, weights, F)
+
+    num = den = any_valid = None
+    for f in range(F):
+        vals, validity = compute_with_validity(measures[f], a_fields[f], b_fields[f])
+        contrib = np.where(validity, vals, 0.0) * weights[f]
+        wmask = np.where(validity, weights[f], 0.0)
+        num = contrib if num is None else num + contrib
+        den = wmask if den is None else den + wmask
+        any_valid = validity if any_valid is None else (any_valid | validity)
+    if missing == "zero":
+        den = np.where(any_valid, float(sum(weights)), 0.0)
+    out = np.full(num.shape, np.nan, dtype=np.float64)
+    ok = any_valid & (den > 0)
+    np.divide(num, den, out=out, where=ok)
+    out[~ok] = np.nan
+    return out
