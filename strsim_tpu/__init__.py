@@ -55,6 +55,11 @@ from strsim_tpu.api import (
 from strsim_tpu import minipl
 from strsim_tpu.config import StrsimConfig, get_config, set_config
 from strsim_tpu.models.engine import StrsimEngine
+from strsim_tpu.models.linkage import (
+    ensemble_scores,
+    top_k_matches,
+    top_k_matches_multi,
+)
 from strsim_tpu.models.measures import MEASURES
 
 __version__ = "0.1.0"
@@ -84,4 +89,7 @@ __all__ = [
     "get_config",
     "set_config",
     "MEASURES",
+    "top_k_matches",
+    "top_k_matches_multi",
+    "ensemble_scores",
 ]

@@ -194,3 +194,17 @@ def test_ensemble_matches_topk_rescoring():
                 weights=WEIGHTS,
             )
             np.testing.assert_allclose(scores[qi, r], exact[0], atol=2e-6)
+
+
+def test_topk_multi_unicode_and_width_skew():
+    """Fields with very different widths and non-ASCII/astral codepoints."""
+    qg = ["bjørk", "𝄞clef"]
+    qs = ["a-very-long-surname-field", "shrt"]
+    cg = ["bjork", "bjørk", "𝄞clef"]
+    cs = ["a-very-long-surname-feild", "a-very-long-surname-field", "shrt"]
+    idx, scores = top_k_matches_multi(
+        [qg, qs], [cg, cs], measures=("jaro", "levenshtein"), k=1
+    )
+    # exact two-field self-matches exist at candidates 1 and 2
+    assert idx[0, 0] == 1 and scores[0, 0] == 1.0
+    assert idx[1, 0] == 2 and scores[1, 0] == 1.0

@@ -114,6 +114,92 @@ def resident_rate(measure, q_codes, q_len, codes, lens, valid):
     }
 
 
+def resident_rate_multi(measures, weights, q_fields, c_fields):
+    """Marginal candidate-RECORD-pairs/s for the multi-field ensemble scorer
+    (same scan-length differencing as resident_rate; each record pair scores
+    len(measures) per-field measures plus the weighted combine on device)."""
+    import jax.numpy as jnp
+
+    from strsim_tpu.models.linkage import _scan_scorer_multi
+
+    scorer = _scan_scorer_multi(tuple(measures), tuple(weights), K, "renormalize")
+    dq = tuple(jnp.asarray(q) for q, _, _ in q_fields)
+    dql = tuple(jnp.asarray(l) for _, l, _ in q_fields)
+    dqv = tuple(jnp.asarray(v) for _, _, v in q_fields)
+    dc = tuple(jnp.asarray(c) for c, _, _ in c_fields)
+    dcl = tuple(jnp.asarray(l) for _, l, _ in c_fields)
+    dcv = tuple(jnp.asarray(v) for _, _, v in c_fields)
+    nb0 = c_fields[0][0].shape[0]
+
+    def run(nb):
+        reps = -(-nb // nb0)
+        cc = tuple(jnp.tile(c, (reps, 1, 1))[:nb] for c in dc)
+        cl = tuple(jnp.tile(l, (reps, 1))[:nb] for l in dcl)
+        cv = tuple(jnp.tile(v, (reps, 1))[:nb] for v in dcv)
+        off = jnp.arange(nb, dtype=jnp.int32) * CB
+
+        def wall():
+            t0 = time.perf_counter()
+            v, i = scorer(dq, dql, dqv, cc, cl, cv, off)
+            np.asarray(v), np.asarray(i)
+            return time.perf_counter() - t0
+
+        wall()
+        return min(wall() for _ in range(REPS))
+
+    w1 = run(NB1)
+    nb2 = NB2
+    while True:
+        w2 = run(nb2)
+        if w2 - w1 > 0.12 or nb2 >= 1024:
+            break
+        nb2 *= 2
+    dt = max(w2 - w1, 1e-9)
+    rate = QB * CB * (nb2 - NB1) / dt
+    return rate, {
+        "wall_nb1_s": round(w1, 4),
+        "wall_nb2_s": round(w2, 4),
+        "nb1": NB1,
+        "nb2": nb2,
+    }
+
+
+def correctness_check_multi(measures, weights, q_fields, c_fields):
+    """top_k_matches_multi vs a brute-force f64 oracle combine."""
+    from strsim_tpu.models.linkage import top_k_matches_multi
+    from strsim_tpu.models.measures import MEASURES as REG
+
+    idx, scores = top_k_matches_multi(
+        q_fields, c_fields, measures=measures, weights=weights, k=5
+    )
+    Q, C = len(q_fields[0]), len(c_fields[0])
+    full = np.full((Q, C), -np.inf)
+    for r in range(Q):
+        for c in range(C):
+            num = den = 0.0
+            for f, m in enumerate(measures):
+                qv, cv = q_fields[f][r], c_fields[f][c]
+                if qv is None or cv is None:
+                    continue
+                num += weights[f] * REG[m].oracle(qv, cv)
+                den += weights[f]
+            if den > 0:
+                full[r, c] = num / den
+    for r in range(Q):
+        want = np.sort(full[r])[::-1][:5]
+        got = scores[r].astype(np.float64)
+        if np.all(~np.isfinite(want)):
+            if not (np.all(idx[r] == -1) and np.all(np.isnan(got))):
+                return False, {"row": r, "got": got.tolist()}
+            continue
+        if not np.allclose(got, want, atol=2e-6):
+            return False, {"row": r, "got": got.tolist(), "want": want.tolist()}
+        for c_i, s in zip(idx[r], scores[r]):
+            if c_i >= 0 and abs(full[r, c_i] - float(s)) > 2e-6:
+                return False, {"row": r, "idx": int(c_i), "score": float(s)}
+    return True, {}
+
+
 def correctness_check(measure, queries, cand):
     """top_k_matches vs the pure-Python oracle on a small Q×C slice."""
     from strsim_tpu.models.linkage import top_k_matches
@@ -196,6 +282,52 @@ def main() -> None:
         }
         bench._log(f"linkage[{m}]: resident {rate:,.0f} cand-pairs/s")
 
+    # multi-field ensemble: 2 fields (given-name-like / surname-like columns
+    # from independent generator seeds), jaro_winkler + levenshtein, 1:2
+    ens_measures, ens_weights = ("jaro_winkler", "levenshtein"), (1.0, 2.0)
+    f2_a, f2_b = bench.make_pairs(200_000, seed=12)
+    cand2, queries2 = f2_a[: NB2 * CB], f2_b[:QB]
+    qe2 = enc.encode_column(queries2, pad=enc.PAD_A)
+    ce2_probe = enc.encode_column(cand2, pad=enc.PAD_B)
+    width2 = max(qe2.width, ce2_probe.width)
+    qe2 = enc._repad(qe2, enc.PAD_A, width2)
+    q_fields = [
+        (q_codes, q_len, qe.validity.copy()),
+        (
+            qe2.codes.astype(np.int32),
+            np.where(qe2.validity, qe2.lengths, 0).astype(np.int32),
+            qe2.validity.copy(),
+        ),
+    ]
+    c_fields = [
+        (codes, lens, valid),
+        _stage_candidates(cand2, width2),
+    ]
+    rate, walls = resident_rate_multi(ens_measures, ens_weights, q_fields, c_fields)
+    base = [
+        details["measures"].get(m, {}).get("baseline_single_core_pairs_per_sec")
+        for m in ens_measures
+    ]
+    # a scalar ensemble loop scores one pair per field per record pair:
+    # its record-pairs/s is 1 / sum_f (1 / per-measure pairs/s)
+    base_rec = 1.0 / sum(1.0 / b for b in base) if all(base) else None
+    out["ensemble_2field"] = {
+        "measures": list(ens_measures),
+        "weights": list(ens_weights),
+        "resident_candidate_record_pairs_per_sec": round(rate),
+        "vs_single_core": round(rate / base_rec, 1) if base_rec else None,
+        **walls,
+    }
+    bench._log(f"linkage[ensemble 2-field]: resident {rate:,.0f} record-pairs/s")
+    ok_m, info_m = correctness_check_multi(
+        ens_measures,
+        ens_weights,
+        [list(queries[:24]), list(queries2[:24])],
+        [list(cand[:800]), list(cand2[:800])],
+    )
+    out["ensemble_2field"]["oracle_check"] = {"ok": bool(ok_m), **info_m}
+    bench._log(f"linkage ensemble oracle check: {'ok' if ok_m else info_m}")
+
     # end-to-end wall (tunnel-bound in this env, recorded for completeness)
     from strsim_tpu.models.linkage import top_k_matches
 
@@ -211,7 +343,7 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["measures"]))
-    if not ok:
+    if not ok or not ok_m:
         sys.exit(1)
 
 
