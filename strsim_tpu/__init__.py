@@ -56,6 +56,7 @@ from strsim_tpu import minipl
 from strsim_tpu.config import StrsimConfig, get_config, set_config
 from strsim_tpu.models.engine import StrsimEngine
 from strsim_tpu.models.linkage import (
+    dedup_top_k,
     ensemble_scores,
     top_k_matches,
     top_k_matches_multi,
@@ -91,5 +92,6 @@ __all__ = [
     "MEASURES",
     "top_k_matches",
     "top_k_matches_multi",
+    "dedup_top_k",
     "ensemble_scores",
 ]

@@ -157,7 +157,7 @@ def top_k_matches(
 
 @functools.lru_cache(maxsize=64)
 def _scan_scorer_multi(measures: Tuple[str, ...], weights: Tuple[float, ...],
-                       k: int, missing: str):
+                       k: int, missing: str, exclude: bool = False):
     from strsim_tpu.ops.finalize_device import scores_on_device
 
     F = len(measures)
@@ -165,10 +165,12 @@ def _scan_scorer_multi(measures: Tuple[str, ...], weights: Tuple[float, ...],
 
     @jax.jit
     def score_all(q_codes, q_len, q_valid, c_blocks, c_len_blocks,
-                  c_valid_blocks, c_offsets):
+                  c_valid_blocks, c_offsets, q_excl=None):
         """Per-field tuples: q_codes[f] [qb, Wf]; c_blocks[f] [NB, cb, Wf].
         Returns ([qb, k] ensemble scores, [qb, k] global candidate indices);
-        the running top-k is carried on device across candidate blocks."""
+        the running top-k is carried on device across candidate blocks.
+        q_excl [qb] (exclude=True only): global candidate index each query
+        must never match (self-match suppression for dedup self-joins)."""
         qb = q_codes[0].shape[0]
         cb = c_blocks[0].shape[1]
         kk = min(k, cb)
@@ -197,6 +199,9 @@ def _scan_scorer_multi(measures: Tuple[str, ...], weights: Tuple[float, ...],
                 # weight mass (a record missing a field is penalized)
                 den = jnp.where(any_valid, w_total, 0.0)
             s = jnp.where(any_valid & (den > 0), num / den, -jnp.inf)
+            if exclude:
+                gidx = off + jnp.arange(cb, dtype=jnp.int32)
+                s = jnp.where(gidx[None, :] == q_excl[:, None], -jnp.inf, s)
             vals, idx = lax.top_k(s, kk)
             merged_v = jnp.concatenate([best_v, vals], axis=1)
             merged_i = jnp.concatenate([best_i, idx.astype(jnp.int32) + off], axis=1)
@@ -249,6 +254,7 @@ def top_k_matches_multi(
     config: Optional[StrsimConfig] = None,
     query_block: int = 128,
     candidate_block: int = 2048,
+    exclude_index: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Record-level top-k matching over several string fields.
 
@@ -262,6 +268,10 @@ def top_k_matches_multi(
     missing field drags the score down. Records with no scoreable field pair
     never match (and all-null query records return index -1 / score NaN).
 
+    exclude_index: optional [Q] candidate index each query must never match —
+    pass range(Q) (or use `dedup_top_k`) for a self-join that suppresses the
+    trivial self-match.
+
     Returns (indices [Q, k] int64, scores [Q, k] f32), descending.
     """
     if missing not in ("renormalize", "zero"):
@@ -274,6 +284,9 @@ def top_k_matches_multi(
         )
     measures, weights = _normalize_fields(measures, weights, F)
     cfg = config or get_config()
+    excl = None
+    if exclude_index is not None:
+        excl = np.asarray(exclude_index, dtype=np.int32)
 
     qs, cs = [], []
     for f in range(F):
@@ -285,6 +298,8 @@ def top_k_matches_multi(
     Q, C = qs[0].n, cs[0].n
     if any(q.n != Q for q in qs) or any(c.n != C for c in cs):
         raise ValueError("all field columns on a side must have equal length")
+    if excl is not None and excl.shape != (Q,):
+        raise ValueError(f"exclude_index must have shape ({Q},), got {excl.shape}")
     if Q == 0 or C == 0 or k <= 0:
         kk = max(min(k, C), 0)
         return (
@@ -314,7 +329,8 @@ def top_k_matches_multi(
         dev_cv.append(jnp.asarray(valid))
     dev_off = jnp.asarray(np.arange(nb, dtype=np.int32) * cb)
 
-    scorer = _scan_scorer_multi(measures, weights, k_eff, missing)
+    scorer = _scan_scorer_multi(measures, weights, k_eff, missing,
+                                exclude=excl is not None)
     best_scores = np.full((Q, k_eff), -np.inf, dtype=np.float32)
     best_idx = np.full((Q, k_eff), -1, dtype=np.int64)
 
@@ -333,10 +349,16 @@ def top_k_matches_multi(
             qc.append(jnp.asarray(codes))
             ql.append(jnp.asarray(lens))
             qv.append(jnp.asarray(valid))
-        vals, idx = scorer(
+        args = [
             tuple(qc), tuple(ql), tuple(qv),
             tuple(dev_c), tuple(dev_cl), tuple(dev_cv), dev_off,
-        )
+        ]
+        if excl is not None:
+            # padded query rows exclude nothing (-1 is never a real index)
+            qx = np.full(qb, -1, dtype=np.int32)
+            qx[:nq] = excl[q0:q1]
+            args.append(jnp.asarray(qx))
+        vals, idx = scorer(*args)
         best_scores[q0:q1] = np.asarray(vals)[:nq]
         best_idx[q0:q1] = np.asarray(idx)[:nq].astype(np.int64)
 
@@ -344,6 +366,29 @@ def top_k_matches_multi(
     best_idx[no_match] = -1
     best_scores[no_match] = np.nan
     return best_idx, best_scores
+
+
+def dedup_top_k(
+    fields: Sequence,
+    measures: Union[str, Sequence[str]] = "jaro_winkler",
+    weights: Optional[Sequence[float]] = None,
+    k: int = 5,
+    missing: str = "renormalize",
+    config: Optional[StrsimConfig] = None,
+    query_block: int = 128,
+    candidate_block: int = 2048,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Self-join deduplication: for every record, its k nearest OTHER records
+    under the weighted ensemble (the trivial self-match is suppressed on
+    device). `fields` is a sequence of F string columns, all length N; pass a
+    single-element list for one-field dedup. Returns (indices [N, k] int64,
+    scores [N, k] f32)."""
+    n = len(fields[0]) if fields else 0
+    return top_k_matches_multi(
+        fields, fields, measures=measures, weights=weights, k=k,
+        missing=missing, config=config, query_block=query_block,
+        candidate_block=candidate_block, exclude_index=np.arange(n),
+    )
 
 
 def ensemble_scores(

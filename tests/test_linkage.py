@@ -208,3 +208,29 @@ def test_topk_multi_unicode_and_width_skew():
     # exact two-field self-matches exist at candidates 1 and 2
     assert idx[0, 0] == 1 and scores[0, 0] == 1.0
     assert idx[1, 0] == 2 and scores[1, 0] == 1.0
+
+
+def test_dedup_top_k_excludes_self():
+    from strsim_tpu.models.linkage import dedup_top_k
+
+    names = ["phillips", "philips", "smith", "smyth", "phillips"]
+    idx, scores = dedup_top_k([names], measures="jaro_winkler", k=2)
+    n = len(names)
+    for r in range(n):
+        assert r not in idx[r], (r, idx[r])
+    # exact duplicate pair (0, 4) must find each other at 1.0
+    assert idx[0, 0] == 4 and scores[0, 0] == 1.0
+    assert idx[4, 0] == 0 and scores[4, 0] == 1.0
+    # near-duplicates pair up
+    assert idx[2, 0] == 3 and idx[3, 0] == 2
+
+
+def test_exclude_index_custom_and_validation():
+    # exclude candidate 0 for every query: it may never be returned
+    idx, scores = top_k_matches_multi(
+        [["phillips", "philips"]], [["phillips", "philips", "phelps"]],
+        measures="jaro", k=3, exclude_index=[0, 0],
+    )
+    assert 0 not in idx
+    with pytest.raises(ValueError):
+        top_k_matches_multi([["a"]], [["a"]], exclude_index=[0, 1])
