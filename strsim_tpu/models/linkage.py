@@ -36,8 +36,17 @@ from strsim_tpu.utils import encode as enc
 import functools
 
 
+def _impls_for_width(cfg: StrsimConfig, width: int) -> Tuple[Tuple[str, str], ...]:
+    """Width-based production kernel selection, same policy as the batch
+    pipeline (Pallas VMEM-resident scans on TPU at supported widths, the
+    measured-fastest XLA variant otherwise)."""
+    from strsim_tpu.models.pipeline import _impls_for
+
+    return _impls_for(cfg, width)
+
+
 @functools.lru_cache(maxsize=64)
-def _scan_scorer(measure: str, k: int):
+def _scan_scorer(measure: str, k: int, impls: Tuple[Tuple[str, str], ...] = ()):
     from strsim_tpu.ops.finalize_device import scores_on_device
 
     @jax.jit
@@ -55,7 +64,7 @@ def _scan_scorer(measure: str, k: int):
             la = jnp.repeat(q_len, cb)
             b = jnp.tile(cc, (qb, 1))
             lb = jnp.tile(cl, qb)
-            s = scores_on_device(a, b, la, lb, (measure,))[measure].reshape(qb, cb)
+            s = scores_on_device(a, b, la, lb, (measure,), impls)[measure].reshape(qb, cb)
             s = jnp.where(cv[None, :], s, -jnp.inf)  # null/pad candidates
             vals, idx = lax.top_k(s, kk)
             merged_v = jnp.concatenate([best_v, vals], axis=1)
@@ -125,7 +134,7 @@ def top_k_matches(
     dev_cv = jnp.asarray(c_valid)
     dev_off = jnp.asarray(c_offsets)
 
-    scorer = _scan_scorer(measure, k_eff)
+    scorer = _scan_scorer(measure, k_eff, _impls_for_width(cfg, width))
     best_scores = np.full((Q, k_eff), -np.inf, dtype=np.float32)
     best_idx = np.full((Q, k_eff), -1, dtype=np.int64)
 
@@ -136,7 +145,14 @@ def top_k_matches(
         qc[:nq] = q.codes[q0:q1]
         ql = np.zeros(qb, dtype=np.int32)
         ql[:nq] = np.where(q.validity[q0:q1], q.lengths[q0:q1], 0)
-        vals, idx = scorer(jnp.asarray(qc), jnp.asarray(ql), dev_c, dev_cl, dev_cv, dev_off)
+        args = (jnp.asarray(qc), jnp.asarray(ql), dev_c, dev_cl, dev_cv, dev_off)
+        try:
+            vals, idx = scorer(*args)
+        except Exception:
+            # production-kernel (Pallas) compile failure: degrade to the XLA
+            # kernels, matching the batch pipeline's guarded-compile policy
+            scorer = _scan_scorer(measure, k_eff)
+            vals, idx = scorer(*args)
         best_scores[q0:q1] = np.asarray(vals)[:nq]
         best_idx[q0:q1] = np.asarray(idx)[:nq].astype(np.int64)
 
@@ -157,10 +173,12 @@ def top_k_matches(
 
 @functools.lru_cache(maxsize=64)
 def _scan_scorer_multi(measures: Tuple[str, ...], weights: Tuple[float, ...],
-                       k: int, missing: str, exclude: bool = False):
+                       k: int, missing: str, exclude: bool = False,
+                       impls: Tuple[Tuple[Tuple[str, str], ...], ...] = ()):
     from strsim_tpu.ops.finalize_device import scores_on_device
 
     F = len(measures)
+    field_impls = impls if impls else ((),) * F
     w_total = np.float32(sum(weights))
 
     @jax.jit
@@ -186,7 +204,8 @@ def _scan_scorer_multi(measures: Tuple[str, ...], weights: Tuple[float, ...],
                 la = jnp.repeat(q_len[f], cb)
                 b = jnp.tile(ccs[f], (qb, 1))
                 lb = jnp.tile(cls[f], qb)
-                s = scores_on_device(a, b, la, lb, (measures[f],))[
+                s = scores_on_device(a, b, la, lb, (measures[f],),
+                                     field_impls[f])[
                     measures[f]
                 ].reshape(qb, cb)
                 valid = q_valid[f][:, None] & cvs[f][None, :]
@@ -329,8 +348,11 @@ def top_k_matches_multi(
         dev_cv.append(jnp.asarray(valid))
     dev_off = jnp.asarray(np.arange(nb, dtype=np.int32) * cb)
 
+    field_impls = tuple(
+        _impls_for_width(cfg, c.codes.shape[1]) for c in cs
+    )
     scorer = _scan_scorer_multi(measures, weights, k_eff, missing,
-                                exclude=excl is not None)
+                                exclude=excl is not None, impls=field_impls)
     best_scores = np.full((Q, k_eff), -np.inf, dtype=np.float32)
     best_idx = np.full((Q, k_eff), -1, dtype=np.int64)
 
@@ -358,7 +380,13 @@ def top_k_matches_multi(
             qx = np.full(qb, -1, dtype=np.int32)
             qx[:nq] = excl[q0:q1]
             args.append(jnp.asarray(qx))
-        vals, idx = scorer(*args)
+        try:
+            vals, idx = scorer(*args)
+        except Exception:
+            # Pallas compile failure: degrade to XLA kernels (pipeline policy)
+            scorer = _scan_scorer_multi(measures, weights, k_eff, missing,
+                                        exclude=excl is not None)
+            vals, idx = scorer(*args)
         best_scores[q0:q1] = np.asarray(vals)[:nq]
         best_idx[q0:q1] = np.asarray(idx)[:nq].astype(np.int64)
 
@@ -417,7 +445,9 @@ def ensemble_scores(
 
     num = den = any_valid = None
     for f in range(F):
-        vals, validity = compute_with_validity(measures[f], a_fields[f], b_fields[f])
+        vals, validity = compute_with_validity(
+            measures[f], a_fields[f], b_fields[f], config=config
+        )
         contrib = np.where(validity, vals, 0.0) * weights[f]
         wmask = np.where(validity, weights[f], 0.0)
         num = contrib if num is None else num + contrib
