@@ -34,6 +34,20 @@ from strsim_tpu.utils import encode as enc
 
 
 import functools
+import warnings
+
+
+def _pad_topk(idx: np.ndarray, scores: np.ndarray, k: int):
+    """Pad [Q, k_eff] top-k outputs to the requested [Q, k]: the extra
+    columns (k > number of candidates) are -1 / NaN, so callers can always
+    index column k-1."""
+    k_eff = idx.shape[1]
+    if k_eff >= k:
+        return idx, scores
+    q = idx.shape[0]
+    pad_i = np.full((q, k - k_eff), -1, dtype=idx.dtype)
+    pad_s = np.full((q, k - k_eff), np.nan, dtype=scores.dtype)
+    return np.concatenate([idx, pad_i], axis=1), np.concatenate([scores, pad_s], axis=1)
 
 
 def _impls_for_width(cfg: StrsimConfig, width: int) -> Tuple[Tuple[str, str], ...]:
@@ -97,7 +111,8 @@ def top_k_matches(
     """Return (indices [Q, k] int64, scores [Q, k] f32): for each query, the
     indices of the k best-matching candidates (descending score) and their
     scores. Null queries get index -1 / score NaN; null candidates never
-    match."""
+    match. When fewer than k candidates exist, trailing columns are -1 / NaN
+    (the output is always k wide)."""
     cfg = config or get_config()
     q = enc.encode_column(queries, pad=enc.PAD_A)
     c = enc.encode_column(candidates, pad=enc.PAD_B)
@@ -106,7 +121,7 @@ def top_k_matches(
     c = enc._repad(c, enc.PAD_B, width)
     Q, C = q.n, c.n
     if Q == 0 or C == 0 or k <= 0:
-        kk = max(min(k, C), 0)
+        kk = max(k, 0)
         return (
             np.full((Q, kk), -1, dtype=np.int64),
             np.full((Q, kk), np.nan, dtype=np.float32),
@@ -148,9 +163,16 @@ def top_k_matches(
         args = (jnp.asarray(qc), jnp.asarray(ql), dev_c, dev_cl, dev_cv, dev_off)
         try:
             vals, idx = scorer(*args)
-        except Exception:
+        except Exception as e:
             # production-kernel (Pallas) compile failure: degrade to the XLA
-            # kernels, matching the batch pipeline's guarded-compile policy
+            # kernels, matching the batch pipeline's guarded-compile policy.
+            # Surface the degradation — a runtime bug repeating on the XLA
+            # path still raises there, so nothing real is swallowed.
+            warnings.warn(
+                f"top_k_matches: production kernel failed ({type(e).__name__}: "
+                f"{e}); recomputing block on XLA kernels",
+                RuntimeWarning,
+            )
             scorer = _scan_scorer(measure, k_eff)
             vals, idx = scorer(*args)
         best_scores[q0:q1] = np.asarray(vals)[:nq]
@@ -163,7 +185,7 @@ def top_k_matches(
     no_match = ~np.isfinite(out_scores)
     best_idx[no_match] = -1
     out_scores[no_match & ~invalid_q[:, None]] = np.nan
-    return best_idx, out_scores
+    return _pad_topk(best_idx, out_scores, k)
 
 
 # --------------------------------------------------------------------------
@@ -291,7 +313,8 @@ def top_k_matches_multi(
     pass range(Q) (or use `dedup_top_k`) for a self-join that suppresses the
     trivial self-match.
 
-    Returns (indices [Q, k] int64, scores [Q, k] f32), descending.
+    Returns (indices [Q, k] int64, scores [Q, k] f32), descending; when fewer
+    than k candidates exist, trailing columns are -1 / NaN (always k wide).
     """
     if missing not in ("renormalize", "zero"):
         raise ValueError(f"missing must be 'renormalize' or 'zero', got {missing!r}")
@@ -320,7 +343,7 @@ def top_k_matches_multi(
     if excl is not None and excl.shape != (Q,):
         raise ValueError(f"exclude_index must have shape ({Q},), got {excl.shape}")
     if Q == 0 or C == 0 or k <= 0:
-        kk = max(min(k, C), 0)
+        kk = max(k, 0)
         return (
             np.full((Q, kk), -1, dtype=np.int64),
             np.full((Q, kk), np.nan, dtype=np.float32),
@@ -382,8 +405,15 @@ def top_k_matches_multi(
             args.append(jnp.asarray(qx))
         try:
             vals, idx = scorer(*args)
-        except Exception:
-            # Pallas compile failure: degrade to XLA kernels (pipeline policy)
+        except Exception as e:
+            # Pallas compile failure: degrade to XLA kernels (pipeline
+            # policy), and surface the degradation — a runtime bug repeating
+            # on the XLA path still raises there.
+            warnings.warn(
+                f"top_k_matches_multi: production kernel failed "
+                f"({type(e).__name__}: {e}); recomputing block on XLA kernels",
+                RuntimeWarning,
+            )
             scorer = _scan_scorer_multi(measures, weights, k_eff, missing,
                                         exclude=excl is not None)
             vals, idx = scorer(*args)
@@ -393,7 +423,7 @@ def top_k_matches_multi(
     no_match = ~np.isfinite(best_scores)
     best_idx[no_match] = -1
     best_scores[no_match] = np.nan
-    return best_idx, best_scores
+    return _pad_topk(best_idx, best_scores, k)
 
 
 def dedup_top_k(
@@ -420,9 +450,9 @@ def dedup_top_k(
 
 
 def ensemble_scores(
-    measures: Union[str, Sequence[str]],
     a_fields: Sequence,
     b_fields: Sequence,
+    measures: Union[str, Sequence[str]] = "jaro_winkler",
     weights: Optional[Sequence[float]] = None,
     missing: str = "renormalize",
     config: Optional[StrsimConfig] = None,
@@ -431,7 +461,11 @@ def ensemble_scores(
     the rescoring companion to `top_k_matches_multi`: run the top-k pass on
     device, then rescore the matched pairs here for exact values. Null-field
     policy matches `top_k_matches_multi`; rows with no scoreable field are
-    NaN."""
+    NaN.
+
+    The argument order mirrors `top_k_matches_multi` (field lists first,
+    `measures=` keyword): both companion APIs take (records_a, records_b,
+    measures=..., weights=..., missing=...)."""
     if missing not in ("renormalize", "zero"):
         raise ValueError(f"missing must be 'renormalize' or 'zero', got {missing!r}")
     from strsim_tpu.api import compute_with_validity

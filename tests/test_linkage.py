@@ -49,18 +49,29 @@ def test_topk_null_query_and_small_k():
 
 
 def test_topk_k_larger_than_candidates():
+    # output is always [Q, k]: columns past the candidate count are -1/NaN
     idx, scores = top_k_matches(["abc"], ["abc", "abd"], k=10)
-    assert idx.shape == (1, 2)
+    assert idx.shape == (1, 10) and scores.shape == (1, 10)
     assert idx[0, 0] == 0
+    assert (idx[0, 2:] == -1).all() and np.isnan(scores[0, 2:]).all()
 
 
 def test_topk_degenerate_inputs():
     idx, scores = top_k_matches([], ["a", "b"], k=3)
-    assert idx.shape == (0, 2)
+    assert idx.shape == (0, 3)
     idx, scores = top_k_matches(["a"], [], k=3)
-    assert idx.shape == (1, 0)
+    assert idx.shape == (1, 3)
+    assert (idx == -1).all() and np.isnan(scores).all()
     idx, scores = top_k_matches(["a"], ["a"], k=0)
     assert idx.shape == (1, 0)
+
+
+def test_topk_multi_k_larger_than_candidates():
+    idx, scores = top_k_matches_multi([["abc"]], [["abc", "abd"]], k=4,
+                                      measures="jaro")
+    assert idx.shape == (1, 4) and scores.shape == (1, 4)
+    assert idx[0, 0] == 0
+    assert (idx[0, 2:] == -1).all() and np.isnan(scores[0, 2:]).all()
 
 
 def test_topk_k_exceeds_candidate_block():
@@ -155,8 +166,8 @@ def test_topk_multi_validation():
 def test_ensemble_scores_exact(missing):
     a_fields = [["john", "mary", None, "anne"], ["phillips", None, "x", None]]
     b_fields = [["jon", "marie", "kate", None], ["philips", "smith", "y", None]]
-    got = ensemble_scores(MEASURES, a_fields, b_fields, weights=WEIGHTS,
-                          missing=missing)
+    got = ensemble_scores(a_fields, b_fields, measures=MEASURES,
+                          weights=WEIGHTS, missing=missing)
     for i in range(4):
         num = den = 0.0
         anyv = False
@@ -188,9 +199,9 @@ def test_ensemble_matches_topk_rescoring():
             if ci < 0:
                 continue
             exact = ensemble_scores(
-                MEASURES,
                 [[Q_GIVEN[qi]], [Q_SUR[qi]]],
                 [[C_GIVEN[ci]], [C_SUR[ci]]],
+                measures=MEASURES,
                 weights=WEIGHTS,
             )
             np.testing.assert_allclose(scores[qi, r], exact[0], atol=2e-6)

@@ -192,7 +192,14 @@ def correctness_check_multi(measures, weights, q_fields, c_fields):
             if not (np.all(idx[r] == -1) and np.all(np.isnan(got))):
                 return False, {"row": r, "got": got.tolist()}
             continue
-        if not np.allclose(got, want, atol=2e-6):
+        # compare only the finite prefix: `got` pads no-match columns with
+        # NaN while `want` pads with -inf, and allclose on mixed pads would
+        # report a false failure for rows with < 5 finite candidate scores
+        w_fin = np.isfinite(want)
+        g_fin = np.isfinite(got)
+        if not np.array_equal(w_fin, g_fin):
+            return False, {"row": r, "got": got.tolist(), "want": want.tolist()}
+        if not np.allclose(got[g_fin], want[w_fin], atol=2e-6):
             return False, {"row": r, "got": got.tolist(), "want": want.tolist()}
         for c_i, s in zip(idx[r], scores[r]):
             if c_i >= 0 and abs(full[r, c_i] - float(s)) > 2e-6:
