@@ -112,6 +112,45 @@ def make_pairs(n: int, seed: int = SEED):
     return col_a, col_b
 
 
+def make_wide_pairs(n: int, seed: int = SEED + 7):
+    """Long-string pairs exercising the 95..511 bucket ladder tail (BASELINE
+    config 4/5 promises bucketing to 512): lengths uniform over [48, 511],
+    ASCII, with equal pairs, near-duplicates (one substitution + one adjacent
+    swap), empties and nulls. Vectorized via the UCS4 view."""
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(48, 512, size=n)
+    W = 511
+    codes = rng.integers(97, 123, size=(n, W), dtype=np.uint32)
+    pos = np.arange(W, dtype=np.int64)[None, :]
+    codes[pos >= lens[:, None]] = 0
+    col_a_u = codes.view(f"<U{W}").ravel()
+
+    r = rng.random(n)
+    codes_b = codes.copy()
+    # near-duplicate default: one substituted char + one adjacent swap
+    p1 = (rng.integers(0, 1 << 30, n)) % lens
+    codes_b[np.arange(n), p1] = np.uint32(ord("a")) + rng.integers(0, 26, n).astype(np.uint32)
+    p2 = (rng.integers(0, 1 << 30, n)) % np.maximum(lens - 1, 1)
+    i_all = np.arange(n)
+    t = codes_b[i_all, p2].copy()
+    codes_b[i_all, p2] = codes_b[i_all, p2 + 1]
+    codes_b[i_all, p2 + 1] = t
+    col_b_u = codes_b.view(f"<U{W}").ravel()
+
+    col_a = col_a_u.astype(object)
+    col_b = col_b_u.astype(object)
+    is_equal = (r >= 0.05) & (r < 0.15)
+    col_b[is_equal] = col_a[is_equal]
+    is_empty = (r >= 0.15) & (r < 0.16)
+    col_b[is_empty] = ""
+    null_idx = rng.choice(n, size=max(n // 200, 2), replace=False)
+    for i in null_idx[: len(null_idx) // 2]:
+        col_a[i] = None
+    for i in null_idx[len(null_idx) // 2 :]:
+        col_b[i] = None
+    return col_a, col_b
+
+
 def measure_resident(a, b, measures):
     """Device-resident kernel throughput (pairs/sec/chip), measured so that
     the relay tunnel cannot distort it: per bucket, the real workload's
@@ -166,7 +205,7 @@ def measure_resident(a, b, measures):
         lens[: sel.size, 0] = la[sel]
         lens[: sel.size, 1] = lb[sel]
         C = n_pad // block
-        base = pp._get_kernel(measures, pp._impls_for(cfg, width))
+        base = pp._get_kernel(measures, pp._impls_for(cfg, width, dtype))
         dev_codes = jnp.asarray(packed.reshape(C, block, 2 * width))
         dev_lens = jnp.asarray(lens.reshape(C, block, 2))
         t_block = marginal_block_time(base, dev_codes, dev_lens)
@@ -309,14 +348,87 @@ def worker(measures_csv: str, out_path: str) -> None:
         json.dump(result, f)
 
 
-def run_worker_with_retry(measures_csv: str, out_path: str):
+N_WIDE_PAIRS = 200_000
+WIDE_BASELINE_SUBSET = 20_000
+
+
+def worker_wide(measures_csv: str, out_path: str) -> None:
+    """Wide-ladder benchmark (buckets 63..511): device-resident per-bucket
+    block times on a long-string workload (lengths 48..511), single-core
+    native baseline, bit-exact parity on a subset — the measured coverage of
+    the ladder tail that the len<=64 headline workload never touches."""
+    from strsim_tpu.models.pipeline import compute_scores
+    from strsim_tpu.native import native_compute, native_available
+    from strsim_tpu.utils import encode as enc
+
+    measures = tuple(measures_csv.split(","))
+    col_a, col_b = make_wide_pairs(N_WIDE_PAIRS)
+    a, b = enc.encode_pair(col_a, col_b)
+    del col_a, col_b
+    validity = a.validity & b.validity
+    _log(f"wide[{measures_csv}]: encoded {N_WIDE_PAIRS:,} pairs (width {a.width}, dtype {a.codes.dtype})")
+
+    result = {"measures": measures_csv, "n_pairs": N_WIDE_PAIRS,
+              "workload": "lengths 48..511 uniform (make_wide_pairs)"}
+    if len(measures) == 1 and native_available():
+        base_dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            base_out = native_compute(
+                measures[0],
+                a.codes[:WIDE_BASELINE_SUBSET], a.lengths[:WIDE_BASELINE_SUBSET],
+                b.codes[:WIDE_BASELINE_SUBSET], b.lengths[:WIDE_BASELINE_SUBSET],
+                validity[:WIDE_BASELINE_SUBSET],
+            )
+            base_dt = min(base_dt, time.perf_counter() - t0)
+        result["baseline_single_core_pairs_per_sec"] = WIDE_BASELINE_SUBSET / base_dt
+        _log(f"wide[{measures_csv}]: native {WIDE_BASELINE_SUBSET / base_dt:,.0f} pairs/s")
+
+    res_tuple = measure_resident(a, b, measures)
+    if res_tuple is not None:
+        resident, bucket_times, device_s = res_tuple
+        result["resident_pairs_per_sec"] = resident
+        result["resident_bucket_block_ms"] = bucket_times
+        result["resident_device_s"] = round(device_s, 4)
+        # per-pair ns per bucket + adjacent-bucket discontinuity ratios
+        # (VERDICT r2 item 2: no >2x per-pair cliff between adjacent buckets)
+        per_pair = {
+            w: bt["block_ms"] * 1e6 / bt["block_rows"]
+            for w, bt in bucket_times.items()
+        }
+        result["per_pair_ns"] = {str(w): round(v, 3) for w, v in per_pair.items()}
+        ws = sorted(per_pair)
+        result["adjacent_per_pair_ratio"] = {
+            f"{w0}->{w1}": round(per_pair[w1] / per_pair[w0], 2)
+            for w0, w1 in zip(ws, ws[1:])
+        }
+        if "baseline_single_core_pairs_per_sec" in result:
+            result["resident_speedup_vs_single_core"] = (
+                resident / result["baseline_single_core_pairs_per_sec"]
+            )
+        _log(f"wide[{measures_csv}]: resident {resident:,.0f} pairs/s; per-pair {result['per_pair_ns']}")
+
+    if len(measures) == 1 and "baseline_single_core_pairs_per_sec" in result:
+        res = compute_scores(a.slice(0, WIDE_BASELINE_SUBSET),
+                             b.slice(0, WIDE_BASELINE_SUBSET), measures)
+        values, _ = res[measures[0]]
+        result["bit_exact_parity"] = bool(values.tobytes() == base_out.tobytes())
+        _log(f"wide[{measures_csv}]: parity={result['bit_exact_parity']}")
+
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+
+
+def run_worker_with_retry(measures_csv: str, out_path: str, mode: str = "--worker",
+                          timeout_s: int | None = None):
+    timeout_s = timeout_s or WORKER_TIMEOUT_S
     for attempt in range(WORKER_RETRIES + 1):
         try:
             if os.path.exists(out_path):
                 os.unlink(out_path)
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", measures_csv, out_path],
-                timeout=WORKER_TIMEOUT_S,
+                [sys.executable, os.path.abspath(__file__), mode, measures_csv, out_path],
+                timeout=timeout_s,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if proc.returncode == 0 and os.path.exists(out_path):
@@ -324,7 +436,7 @@ def run_worker_with_retry(measures_csv: str, out_path: str):
                     return json.load(f)
             _log(f"worker[{measures_csv}] attempt {attempt}: rc={proc.returncode}")
         except subprocess.TimeoutExpired:
-            _log(f"worker[{measures_csv}] attempt {attempt}: timeout after {WORKER_TIMEOUT_S}s")
+            _log(f"worker[{measures_csv}] attempt {attempt}: timeout after {timeout_s}s")
     return None
 
 
@@ -398,6 +510,18 @@ def main():
     if fused is not None:
         details["fused"] = fused
 
+    # wide-ladder coverage (buckets 63..511, lengths 48..511): the headline
+    # workload is len<=64 by definition (BASELINE.md), so the ladder tail
+    # gets its own measured section
+    details["wide_buckets"] = {}
+    for measure in ("levenshtein", "jaro_winkler", "jaccard", "osa"):
+        r = run_worker_with_retry(
+            measure, f"/tmp/strsim_bench_wide_{measure}.json",
+            mode="--worker-wide", timeout_s=2 * WORKER_TIMEOUT_S,
+        )
+        if r is not None:
+            details["wide_buckets"][measure] = r
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=2)
 
@@ -405,5 +529,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
         worker(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--worker-wide":
+        worker_wide(sys.argv[2], sys.argv[3])
     else:
         main()

@@ -43,9 +43,14 @@ class StrsimConfig:
     #     over "myers" on v5e), "wavefront"
     #     (round-1 anti-diagonal DP), "pallas" (round-1 experimental
     #     wavefront, interpret-only).
-    #   jaro: "bitmask" (packed-flag greedy scan + loop-free transposition,
-    #     production default; "xla" is an alias), "scan" (round-1 [L,B]-flag
-    #     scan), "pallas".
+    #   jaro: "auto" (production default — the fused Pallas kernel
+    #     "pallas_scan" on TPU for int8/ASCII tiles at widths <= 63
+    #     (ops/jaro_pallas_scan.py: in-kernel EqB + VMEM greedy scan +
+    #     byte-compacted O(L) transposition, measured on v5e vs "bitmask" in
+    #     tools/ab_jaro_fused.py), "bitmask" otherwise), "bitmask"
+    #     (packed-flag greedy scan + loop-free transposition; "xla" is an
+    #     alias), "scan" (round-1 [L,B]-flag scan), "pallas" (round-2
+    #     scan-only experiment).
     #   multiset: "auto" (production default — "pallas_scan" on TPU at
     #     widths <= 63, "chunked" otherwise), "pallas_scan" (unrolled
     #     VMEM-resident occurrence-rank kernel, ops/multiset_pallas.py —
@@ -56,7 +61,7 @@ class StrsimConfig:
     #     "xla" (streaming 1-position-per-step scan), "table" ([L,L,B]
     #     compare).
     levenshtein_impl: str = "auto"
-    jaro_impl: str = "bitmask"
+    jaro_impl: str = "auto"
     multiset_impl: str = "auto"
     # osa (extension): "auto" = Pallas VMEM-resident Hyyrö scan on TPU at
     # widths <= 63 (measured +29..157% over the XLA kernel on v5e,

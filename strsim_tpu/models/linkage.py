@@ -50,13 +50,24 @@ def _pad_topk(idx: np.ndarray, scores: np.ndarray, k: int):
     return np.concatenate([idx, pad_i], axis=1), np.concatenate([scores, pad_s], axis=1)
 
 
-def _impls_for_width(cfg: StrsimConfig, width: int) -> Tuple[Tuple[str, str], ...]:
-    """Width-based production kernel selection, same policy as the batch
-    pipeline (Pallas VMEM-resident scans on TPU at supported widths, the
-    measured-fastest XLA variant otherwise)."""
+def _impls_for_width(
+    cfg: StrsimConfig, width: int, dtype=None
+) -> Tuple[Tuple[str, str], ...]:
+    """Width/dtype-based production kernel selection, same policy as the
+    batch pipeline (Pallas VMEM-resident scans on TPU at supported widths —
+    incl. the fused jaro kernel on int8/ASCII tiles — the measured-fastest
+    XLA variant otherwise)."""
     from strsim_tpu.models.pipeline import _impls_for
 
-    return _impls_for(cfg, width)
+    return _impls_for(cfg, width, dtype)
+
+
+def _tile_dtype(q: enc.EncodedColumn, c: enc.EncodedColumn):
+    """int8 staging when BOTH sides are native-proven ASCII (4x less device
+    staging and unlocks the byte-packed fused jaro kernel), int32 otherwise."""
+    if q.codes.dtype == np.int8 and c.codes.dtype == np.int8:
+        return np.int8
+    return np.int32
 
 
 @functools.lru_cache(maxsize=64)
@@ -133,8 +144,9 @@ def top_k_matches(
     qb = min(query_block, max(Q, 1))
 
     # stage candidate blocks on device ONCE (shared across query blocks)
+    dtype = _tile_dtype(q, c)
     nb = max(1, -(-C // cb))
-    c_codes = np.full((nb, cb, width), enc.PAD_B, dtype=np.int32)
+    c_codes = np.full((nb, cb, width), enc.PAD_B, dtype=dtype)
     c_lens = np.zeros((nb, cb), dtype=np.int32)
     c_valid = np.zeros((nb, cb), dtype=bool)
     for bidx in range(nb):
@@ -149,14 +161,14 @@ def top_k_matches(
     dev_cv = jnp.asarray(c_valid)
     dev_off = jnp.asarray(c_offsets)
 
-    scorer = _scan_scorer(measure, k_eff, _impls_for_width(cfg, width))
+    scorer = _scan_scorer(measure, k_eff, _impls_for_width(cfg, width, dtype))
     best_scores = np.full((Q, k_eff), -np.inf, dtype=np.float32)
     best_idx = np.full((Q, k_eff), -1, dtype=np.int64)
 
     for q0 in range(0, Q, qb):
         q1 = min(q0 + qb, Q)
         nq = q1 - q0
-        qc = np.full((qb, width), enc.PAD_A, dtype=np.int32)
+        qc = np.full((qb, width), enc.PAD_A, dtype=dtype)
         qc[:nq] = q.codes[q0:q1]
         ql = np.zeros(qb, dtype=np.int32)
         ql[:nq] = np.where(q.validity[q0:q1], q.lengths[q0:q1], 0)
@@ -354,10 +366,11 @@ def top_k_matches_multi(
     nb = max(1, -(-C // cb))
 
     # stage candidate blocks on device ONCE per field (shared across queries)
+    field_dtypes = [_tile_dtype(q, c) for q, c in zip(qs, cs)]
     dev_c, dev_cl, dev_cv = [], [], []
-    for c in cs:
+    for c, fdt in zip(cs, field_dtypes):
         width = c.codes.shape[1]
-        codes = np.full((nb, cb, width), enc.PAD_B, dtype=np.int32)
+        codes = np.full((nb, cb, width), enc.PAD_B, dtype=fdt)
         lens = np.zeros((nb, cb), dtype=np.int32)
         valid = np.zeros((nb, cb), dtype=bool)
         for bidx in range(nb):
@@ -372,7 +385,8 @@ def top_k_matches_multi(
     dev_off = jnp.asarray(np.arange(nb, dtype=np.int32) * cb)
 
     field_impls = tuple(
-        _impls_for_width(cfg, c.codes.shape[1]) for c in cs
+        _impls_for_width(cfg, c.codes.shape[1], fdt)
+        for c, fdt in zip(cs, field_dtypes)
     )
     scorer = _scan_scorer_multi(measures, weights, k_eff, missing,
                                 exclude=excl is not None, impls=field_impls)
@@ -383,9 +397,9 @@ def top_k_matches_multi(
         q1 = min(q0 + qb, Q)
         nq = q1 - q0
         qc, ql, qv = [], [], []
-        for q in qs:
+        for q, fdt in zip(qs, field_dtypes):
             width = q.codes.shape[1]
-            codes = np.full((qb, width), enc.PAD_A, dtype=np.int32)
+            codes = np.full((qb, width), enc.PAD_A, dtype=fdt)
             codes[:nq] = q.codes[q0:q1]
             lens = np.zeros(qb, dtype=np.int32)
             lens[:nq] = np.where(q.validity[q0:q1], q.lengths[q0:q1], 0)

@@ -66,11 +66,11 @@ def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
 
 def _lev_impl_for(cfg: StrsimConfig, width: int) -> str:
     """Resolve the effective levenshtein kernel for a bucket width. "auto"
-    (default) picks the Pallas VMEM-resident Myers scan on TPU at widths
-    <= 63 — measured +178%/+69%/+13%/+156%/+81% at w7/15/31/47/63 over the
-    XLA kernel on v5e (ops/levenshtein_pallas_scan.py docstring) — and the
-    XLA bit-parallel kernel everywhere else (wider buckets, non-TPU
-    backends)."""
+    (default) picks the Pallas VMEM-resident Myers scan on TPU across the
+    whole ladder — unrolled at widths <= 63 (measured +13..178% over the XLA
+    kernel on v5e, ops/levenshtein_pallas_scan.py docstring), fori_loop wide
+    kernel with per-block dynamic trips at 95..511 — and the XLA bit-parallel
+    kernel elsewhere (non-TPU backends, ad-hoc extend buckets > 511)."""
     impl = cfg.levenshtein_impl
     if impl == "auto":
         from strsim_tpu.ops.levenshtein_pallas_scan import supports_width
@@ -81,11 +81,32 @@ def _lev_impl_for(cfg: StrsimConfig, width: int) -> str:
     return impl
 
 
+def _jaro_impl_for(cfg: StrsimConfig, width: int, dtype=None) -> str:
+    """Resolve the effective jaro kernel. "auto" (default) picks the fused
+    Pallas kernel (in-kernel EqB + VMEM greedy scan + byte-compacted
+    transposition, ops/jaro_pallas_scan.py) on TPU for int8/ASCII buckets at
+    supported widths — it byte-packs matched chars, so wide-codepoint (int32)
+    buckets stay on the XLA bitmask kernel, as do non-TPU backends."""
+    impl = cfg.jaro_impl
+    if impl == "auto":
+        from strsim_tpu.ops.jaro_pallas_scan import supports_width
+
+        if (
+            supports_width(width)
+            and dtype is not None
+            and np.dtype(dtype).itemsize == 1
+            and jax.default_backend() == "tpu"
+        ):
+            return "pallas_scan"
+        return "bitmask"
+    return impl
+
+
 def _osa_impl_for(cfg: StrsimConfig, width: int) -> str:
     """Resolve the effective osa kernel for a bucket width — same "auto"
-    policy as levenshtein: Pallas VMEM-resident Hyyrö scan on TPU at widths
-    <= 63 (measured +29..157% on v5e, tools/ab_osa_pallas.py), XLA kernel
-    everywhere else."""
+    policy as levenshtein: Pallas VMEM-resident Hyyrö scan on TPU (unrolled
+    <= 63, measured +29..157% on v5e in tools/ab_osa_pallas.py; fori_loop
+    wide kernel at 95..511), XLA kernel everywhere else."""
     impl = cfg.osa_impl
     if impl == "auto":
         from strsim_tpu.ops.osa_pallas_scan import supports_width
@@ -96,10 +117,12 @@ def _osa_impl_for(cfg: StrsimConfig, width: int) -> str:
     return impl
 
 
-def _impls_for(cfg: StrsimConfig, width: int) -> Tuple[Tuple[str, str], ...]:
+def _impls_for(
+    cfg: StrsimConfig, width: int, dtype=None
+) -> Tuple[Tuple[str, str], ...]:
     return (
         ("levenshtein", _lev_impl_for(cfg, width)),
-        ("jaro", cfg.jaro_impl),
+        ("jaro", _jaro_impl_for(cfg, width, dtype)),
         ("multiset", _multiset_impl_for(cfg, width)),
         ("osa", _osa_impl_for(cfg, width)),
     )
@@ -470,7 +493,7 @@ def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
     for spec in widths_blocks_dtypes:
         width, block, dtype = spec[:3]
         chunks = spec[3] if len(spec) > 3 else 1
-        impls = _impls_for(cfg, width)
+        impls = _impls_for(cfg, width, dtype)
         kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg, chunks)
         prewarm(key, kernel, _abstract_args(block, width, dtype, chunks))
 
@@ -502,7 +525,7 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
 
     block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
     chunks = _chunks_for(sel.size, block)
-    impls = _impls_for(cfg, width)
+    impls = _impls_for(cfg, width, dtype)
     try:
         kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
     except Exception:
@@ -512,7 +535,12 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
     if kernel is None and any(v == "pallas_scan" for _, v in impls):
         # Pallas kernel unavailable: same-contract XLA kernel before giving
         # up on the device (host fallback is exact but far slower)
-        xla_equiv = {"levenshtein": "myers", "jaro": "bitmask", "multiset": "chunked"}
+        xla_equiv = {
+            "levenshtein": "myers",
+            "jaro": "bitmask",
+            "multiset": "chunked",
+            "osa": "myers",
+        }
         impls = tuple(
             (k, xla_equiv[k] if v == "pallas_scan" else v) for k, v in impls
         )

@@ -1,0 +1,265 @@
+"""Pallas (Mosaic) fused Jaro kernel — VMEM-resident scan + compacted
+transposition. Round-3 production kernel for byte-width (ASCII) tiles.
+
+Reference semantics: the greedy windowed match scan and ordered transposition
+count of src/expressions/strsim.rs:200-243, identical integer contract to
+ops.jaro_bitmask.jaro_match_stats_bitmask (m = greedy match count, t = raw
+transposition count before the integer t/2 halving, which stays in the host
+finalizer for bit-for-float parity).
+
+Why a fused kernel: the round-2 XLA bitmask kernel spends its time in two
+places the scan itself never touches (docs/ROOFLINE.md cost model):
+
+  * the EqB precompute materializes an [L, W, B] bitmask tensor in HBM
+    between the parallel build and the sequential fori_loop;
+  * the transposition count is a parallel [L, L, B] compare+reduce — the
+    4·L² term that dominates every width.
+
+This kernel removes both. The whole program is VMEM-resident and fully
+unrolled (L static per bucket):
+
+  * EqB words are built INSIDE the scan step from the i32 char tiles (same
+    trick as ops/levenshtein_pallas_scan.py): 3 ops per real b-position, no
+    HBM tensor, bits beyond len_b identically 0 because PAD_B never equals a
+    real char (utils/encode.py).
+  * The greedy "first unflagged equal b-char in the window" is lowest-set-bit
+    extraction over W packed uint32 flag words with a low-word-first
+    suppression chain — exact greedy order (strsim.rs:209-218).
+  * The transposition count (strsim.rs:220-237: r-th matched a-char vs r-th
+    flagged b-char, count unequal pairs) is computed WITHOUT the L² rank
+    table: both match sequences are compacted rank-by-rank into byte-packed
+    i32 words (4 chars per word, dynamic per-lane byte insert = W/4 select-ors),
+    the a-side during the scan itself (matched a-chars arrive in rank order),
+    the b-side in one unrolled pass over the final flag words. t is then one
+    xor + per-byte nonzero count over ceil(L/4) words — O(L) lane ops total.
+    Unwritten slots are 0 on BOTH sides (both sequences hold exactly m
+    entries), so no rank mask is needed.
+
+Byte packing requires every codepoint to fit one byte, so the pipeline routes
+only int8 (pure-ASCII) tiles here — the XLA bitmask kernel keeps serving
+int32 (non-ASCII) buckets and non-TPU backends. Off-TPU the identical kernel
+runs under the Pallas interpreter (exactness tests use this).
+
+Exactness: every statistic stays integer; rows with an empty side yield
+m = 0 (resolved by the host finalizer, ops/finalize.py); the len-1/len-1
+direct-compare special case (strsim.rs:197-199) is patched outside the
+kernel exactly as the XLA kernel does.
+
+Measured on v5e (262144-row blocks, bit-exact vs the XLA bitmask kernel):
+see docs/ROOFLINE.md round-3 table and tools/ab_jaro_fused.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from strsim_tpu.utils.encode import PAD_A, PAD_B
+
+Array = jax.Array
+
+_WORD = 32
+_SUB = 8  # sublane fold
+_ALL_ONES = np.uint32(0xFFFFFFFF)
+DEFAULT_BLOCK_ROWS = 8192
+
+# fully-unrolled program: L*(3L + ~2W4 + ~18W) straight-line vector ops.
+# L = 64 lands ~18K ops — the same ballpark the levenshtein scan compiles
+# comfortably at; wider buckets stay on the XLA bitmask kernel.
+_MAX_WIDTH = 64
+
+
+def supports_width(L: int) -> bool:
+    """True iff the unrolled specialization covers padded width L."""
+    return L <= _MAX_WIDTH
+
+
+def _satmask(k: Array) -> Array:
+    """Per-lane uint32 mask of the k lowest bits, saturating: k <= 0 -> 0,
+    k >= 32 -> all ones (same contract as ops/jaro_bitmask._satmask)."""
+    kc = jnp.clip(k, 0, _WORD - 1).astype(jnp.uint32)
+    base = (np.uint32(1) << kc) - np.uint32(1)
+    return jnp.where(k >= _WORD, _ALL_ONES, jnp.where(k <= 0, np.uint32(0), base))
+
+
+def _kernel(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
+    """a_ref/b_ref: [1, L, 8, BR8] i32 char tiles (values < 256; PAD past
+    each length); la/lb/m/t: [1, 8, BR8] i32."""
+    u32, i32 = jnp.uint32, jnp.int32
+    W = -(-L // _WORD)   # packed flag words
+    W4 = -(-L // 4)      # byte-packed sequence words (4 chars per i32)
+    la = la_ref[0]
+    lb = lb_ref[0]
+    shape = la.shape
+
+    bound = jnp.maximum(la, lb) // 2 - 1  # strsim.rs:200
+
+    a_rows = [a_ref[0, i] for i in range(L)]
+    b_rows = [b_ref[0, j] for j in range(L)]
+
+    flag = [jnp.zeros(shape, u32) for _ in range(W)]
+    seq_a = [jnp.zeros(shape, i32) for _ in range(W4)]
+    m = jnp.zeros(shape, i32)
+
+    for i in range(L):  # static unroll: L is the bucket width
+        a_i = a_rows[i]
+        # strsim.rs:208 iterates only the first len_b + bound chars of a
+        active = (i < la) & (i < lb + bound)
+        lo = i - bound                      # window start (may be negative)
+        hi = jnp.minimum(i + bound, lb - 1)  # window end (may be negative)
+
+        found = jnp.zeros(shape, bool)
+        val = jnp.zeros(shape, i32)  # set when a lower word finds the match
+        for w in range(W):  # greedy: low word -> high
+            # EqB word w for a_i, built from only the real b rows (bits at
+            # j >= L don't exist; bits at len_b <= j < L are 0 because
+            # PAD_B != any real char). i32 accumulate (Mosaic: no u32
+            # reduce), bitcast after — bit patterns identical.
+            eq_i = jnp.zeros(shape, i32)
+            for j in range(w * _WORD, min((w + 1) * _WORD, L)):
+                bit = np.int32(np.uint32(1) << np.uint32(j % _WORD))
+                eq_i = eq_i | jnp.where(b_rows[j] == a_i, bit, np.int32(0))
+            eqw = lax.bitcast_convert_type(eq_i, u32)
+            # window bits lo..hi restricted to word w
+            win = _satmask(hi + 1 - w * _WORD) & ~_satmask(lo - w * _WORD)
+            cand = eqw & ~flag[w] & win
+            # greedy: only the lowest set bit across ALL words may flag;
+            # suppress this word if a lower word already found / row inactive
+            cand = jnp.where(active & ~found, cand, np.uint32(0))
+            lsb = cand & (~cand + np.uint32(1))
+            flag[w] = flag[w] | lsb
+            found = found | (cand != 0)
+
+        # rank-compact the matched a-char: byte slot m of seq_a (matched
+        # a-chars arrive in increasing i — already rank order)
+        val = jnp.where(found, a_i, 0) << ((m & 3) << 3)
+        mw = m >> 2
+        for w4 in range(W4):
+            seq_a[w4] = seq_a[w4] | jnp.where(mw == w4, val, 0)
+        m = m + found.astype(i32)
+
+    # rank-compact the flagged b-chars (increasing j = rank order,
+    # strsim.rs:227-232), then count unequal byte pairs = t
+    seq_b = [jnp.zeros(shape, i32) for _ in range(W4)]
+    rb = jnp.zeros(shape, i32)
+    for j in range(L):
+        fb = (flag[j // _WORD] >> np.uint32(j % _WORD)) & np.uint32(1)
+        fbit = fb != 0
+        val = jnp.where(fbit, b_rows[j], 0) << ((rb & 3) << 3)
+        rw = rb >> 2
+        for w4 in range(W4):
+            seq_b[w4] = seq_b[w4] | jnp.where(rw == w4, val, 0)
+        rb = rb + fbit.astype(i32)
+
+    t = jnp.zeros(shape, i32)
+    for w4 in range(W4):
+        x = seq_a[w4] ^ seq_b[w4]
+        for byte in range(4):
+            t = t + (((x >> (8 * byte)) & 255) != 0).astype(i32)
+
+    m_ref[0] = m
+    t_ref[0] = t
+
+
+def _block_rows_for(B: int, block_rows: int) -> int:
+    br = min(block_rows, B)
+    while B % br:
+        br //= 2
+    return br
+
+
+def jaro_match_stats_pallas_scan(
+    a: Array,
+    b: Array,
+    len_a: Array,
+    len_b: Array,
+    *,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Array]:
+    """(m, t): greedy match count and raw transposition count — drop-in for
+    ops.jaro_bitmask.jaro_match_stats_bitmask on byte-width tiles.
+
+    a, b: [B, L] padded codepoint tiles whose values fit one byte (the
+    pipeline routes only int8/pure-ASCII buckets here; a wider dtype is a
+    contract violation and raises). len_a, len_b: [B] int32. Returns two [B]
+    int32 arrays. interpret=None auto-selects the Pallas interpreter on
+    non-TPU backends.
+    """
+    B, L = a.shape
+    if not supports_width(L):
+        raise ValueError(f"jaro pallas_scan requires width <= {_MAX_WIDTH}, got {L}")
+    if a.dtype.itemsize != 1 or b.dtype.itemsize != 1:
+        raise ValueError(
+            "jaro pallas_scan byte-packs matched chars: tiles must be an "
+            f"8-bit dtype (got {a.dtype}/{b.dtype}); use the bitmask kernel "
+            "for wide codepoints"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    i32 = jnp.int32
+
+    pad_rows = 0
+    if B % _SUB:
+        pad_rows = _SUB - B % _SUB
+        zi = jnp.zeros((pad_rows,), len_a.dtype)
+        a = jnp.concatenate([a, jnp.full((pad_rows, L), PAD_A, a.dtype)], axis=0)
+        b = jnp.concatenate([b, jnp.full((pad_rows, L), PAD_B, b.dtype)], axis=0)
+        len_a = jnp.concatenate([len_a, zi])
+        len_b = jnp.concatenate([len_b, zi])
+        B = B + pad_rows
+
+    BR = _block_rows_for(B, block_rows)
+    BR8 = BR // _SUB
+    G = B // BR
+
+    aT = a.T.astype(i32)  # [L, B] batch-in-lanes, i32 (Mosaic: no int8 blocks)
+    bT = b.T.astype(i32)
+    a4 = aT.reshape(L, G, _SUB, BR8).transpose(1, 0, 2, 3)
+    b4 = bT.reshape(L, G, _SUB, BR8).transpose(1, 0, 2, 3)
+    la3 = len_a.astype(i32).reshape(G, _SUB, BR8)
+    lb3 = len_b.astype(i32).reshape(G, _SUB, BR8)
+
+    def tile_spec(rows):
+        return pl.BlockSpec(
+            (1, rows, _SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    row_spec = pl.BlockSpec(
+        (1, _SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    m3, t3 = pl.pallas_call(
+        functools.partial(_kernel, L=L),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
+            jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
+        ),
+        grid=(G,),
+        in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
+        out_specs=(row_spec, row_spec),
+        interpret=interpret,
+    )(a4, b4, la3, lb3)
+    m = m3.reshape(B)
+    t = t3.reshape(B)
+    if pad_rows:
+        m = m[: B - pad_rows]
+        t = t[: B - pad_rows]
+        B = B - pad_rows
+
+    # len-1 vs len-1: direct char compare before any window math
+    # (strsim.rs:197-199; bound = -1 makes the window empty in-kernel)
+    la_r = len_a[:B].astype(i32)
+    lb_r = len_b[:B].astype(i32)
+    one_one = (la_r == 1) & (lb_r == 1)
+    eq11 = aT[0, :B] == bT[0, :B]
+    m = jnp.where(one_one, eq11.astype(i32), m)
+    t = jnp.where(one_one, 0, t)
+    return m, t

@@ -59,11 +59,14 @@ DEFAULT_BLOCK_ROWS = 8192
 
 
 _MAX_WORDS = 2  # unrolled multi-word variant written for W <= 2 (L <= 64)
+_MAX_WORDS_WIDE = 16  # fori_loop wide variant (L <= 512: the full ladder)
 
 
 def supports_width(L: int) -> bool:
-    """True iff an unrolled specialization covers padded width L."""
-    return L <= _WORD * _MAX_WORDS
+    """True iff a kernel specialization covers padded width L (unrolled at
+    L <= 64, fori_loop wide variant through L <= 512 — the whole standard
+    bucket ladder incl. the 95..511 tail)."""
+    return L <= _WORD * _MAX_WORDS_WIDE
 
 
 def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
@@ -190,10 +193,98 @@ def _kernel_multiword(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
     out_ref[0] = score
 
 
+def _kernel_wide(nmax_ref, a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
+    """Wide-bucket variant (W = ceil(L/32) <= _MAX_WORDS_WIDE): identical
+    Myers recurrence to _kernel_multiword, but the scan over text positions
+    is a lax.fori_loop instead of a full unroll — at L = 511 an unrolled
+    body would be ~10^6 straight-line ops (the round-2 compile-SIGKILL
+    regime), while this body is O(3L + 25W) ops compiled once.
+
+    nmax_ref (scalar prefetch, [G] i32): per-block dynamic trip count
+    max(len_b) — blocks are length-sorted by the pipeline, so short blocks
+    inside a wide bucket stop early instead of paying the padded width.
+    """
+    u32, i32 = jnp.uint32, jnp.int32
+    W = -(-L // _WORD)
+    la = la_ref[0]
+    lb = lb_ref[0]
+    shape = la.shape
+
+    m1 = jnp.maximum(la - 1, 0)
+    hword = m1 // _WORD
+    hbit = (m1 % _WORD).astype(u32)
+
+    pv0 = jnp.full((W,) + shape, _ALL_ONES, u32)
+    mv0 = jnp.zeros((W,) + shape, u32)
+    score0 = la.astype(i32)
+
+    def body(j, state):
+        pv, mv, score = state
+        b_j = b_ref[0, j]
+        eq = []
+        for w in range(W):  # per-word Eq from only the real pattern rows
+            eq_i = jnp.zeros(shape, i32)
+            for i in range(w * _WORD, min((w + 1) * _WORD, L)):
+                wt = np.int32(np.uint32(1) << np.uint32(i % _WORD))
+                eq_i = eq_i | jnp.where(a_ref[0, i] == b_j, wt, np.int32(0))
+            eq.append(lax.bitcast_convert_type(eq_i, u32))
+        active = j < lb
+
+        carry = jnp.zeros(shape, u32)
+        ph_in = jnp.ones(shape, u32)
+        mh_in = jnp.zeros(shape, u32)
+        ph_bit = jnp.zeros(shape, u32)
+        mh_bit = jnp.zeros(shape, u32)
+        new_pv, new_mv = [], []
+        for w in range(W):  # carries flow low word -> high
+            eq_w, pv_w, mv_w = eq[w], pv[w], mv[w]
+            x = eq_w & pv_w
+            s1 = x + pv_w
+            c1 = (s1 < x).astype(u32)
+            s2 = s1 + carry
+            c2 = (s2 < s1).astype(u32)
+            carry = c1 | c2
+            xh = (s2 ^ pv_w) | eq_w
+            xv = eq_w | mv_w
+            ph = mv_w | ~(xh | pv_w)
+            mh = pv_w & xh
+            sel = hword == w
+            ph_bit = jnp.where(sel, (ph >> hbit) & 1, ph_bit)
+            mh_bit = jnp.where(sel, (mh >> hbit) & 1, mh_bit)
+            ph_out = ph >> (_WORD - 1)
+            mh_out = mh >> (_WORD - 1)
+            ph_s = (ph << 1) | ph_in
+            mh_s = (mh << 1) | mh_in
+            ph_in, mh_in = ph_out, mh_out
+            new_pv.append(mh_s | ~(xv | ph_s))
+            new_mv.append(ph_s & xv)
+
+        delta = ph_bit.astype(i32) - mh_bit.astype(i32)
+        score = score + jnp.where(active, delta, 0)
+        pv = jnp.where(active[None], jnp.stack(new_pv), pv)
+        mv = jnp.where(active[None], jnp.stack(new_mv), mv)
+        return pv, mv, score
+
+    n = nmax_ref[pl.program_id(0)]
+    _, _, score = lax.fori_loop(0, n, body, (pv0, mv0, score0))
+    out_ref[0] = score
+
+
 def _block_rows_for(B: int, block_rows: int) -> int:
     br = min(block_rows, B)
     while B % br:
         br //= 2
+    return br
+
+
+def _wide_block_rows(L: int, block_rows: int) -> int:
+    """Rows per grid block for the wide kernel: two [L, BR] i32 input tiles,
+    double-buffered, must fit VMEM (~16 MB/core) with headroom for the
+    [W, 8, BR/8] carried state — 16*L*BR <= ~12 MB, floor 1024 rows so the
+    lane axis stays full (BR/8 >= 128)."""
+    br = 1024
+    while br * 2 <= block_rows and 16 * L * (br * 2) <= 12_000_000:
+        br *= 2
     return br
 
 
@@ -213,16 +304,18 @@ def levenshtein_distance_myers_pallas(
     any integer dtype; L must satisfy supports_width. len_a, len_b: [B]
     int32. Returns [B] int32 distances (valid where both lengths >= 1, as
     the XLA kernel). interpret=None auto-selects the Pallas interpreter on
-    non-TPU backends.
+    non-TPU backends. Widths above 64 route to the fori_loop wide kernel
+    with a VMEM-sized block and a per-block dynamic trip count.
     """
     B, L = a.shape
     if not supports_width(L):
         raise ValueError(
-            f"pallas_scan kernel requires width <= {_WORD * _MAX_WORDS}, got {L}"
+            f"pallas_scan kernel requires width <= {_WORD * _MAX_WORDS_WIDE}, got {L}"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     i32 = jnp.int32
+    wide = L > _WORD * _MAX_WORDS
 
     pad_rows = 0
     if B % _SUB:
@@ -234,7 +327,7 @@ def levenshtein_distance_myers_pallas(
         len_b = jnp.concatenate([len_b, zi])
         B = B + pad_rows
 
-    BR = _block_rows_for(B, block_rows)
+    BR = _block_rows_for(B, _wide_block_rows(L, block_rows) if wide else block_rows)
     BR8 = BR // _SUB
     G = B // BR
 
@@ -245,23 +338,51 @@ def levenshtein_distance_myers_pallas(
     la3 = len_a.astype(i32).reshape(G, _SUB, BR8)
     lb3 = len_b.astype(i32).reshape(G, _SUB, BR8)
 
-    def tile_spec(rows):
-        return pl.BlockSpec(
-            (1, rows, _SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+    if wide:
+        # per-block dynamic trip count (scalar prefetch): blocks are
+        # length-sorted upstream, so short blocks in a wide bucket pay only
+        # their own max(len_b) scan steps, not the padded width
+        nmax = jnp.minimum(jnp.max(lb3, axis=(1, 2)), L).astype(i32)  # [G]
+
+        def tile_spec(rows):
+            return pl.BlockSpec(
+                (1, rows, _SUB, BR8), lambda g, n: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        row_spec = pl.BlockSpec(
+            (1, _SUB, BR8), lambda g, n: (g, 0, 0), memory_space=pltpu.VMEM
         )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
+            out_specs=row_spec,
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel_wide, L=L),
+            out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(nmax, a4, b4, la3, lb3)
+    else:
+        def tile_spec(rows):
+            return pl.BlockSpec(
+                (1, rows, _SUB, BR8), lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
 
-    row_spec = pl.BlockSpec(
-        (1, _SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    out = pl.pallas_call(
-        functools.partial(_kernel if L <= _WORD else _kernel_multiword, L=L),
-        out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
-        grid=(G,),
-        in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
-        out_specs=row_spec,
-        interpret=interpret,
-    )(a4, b4, la3, lb3)
+        row_spec = pl.BlockSpec(
+            (1, _SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel if L <= _WORD else _kernel_multiword, L=L),
+            out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
+            grid=(G,),
+            in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
+            out_specs=row_spec,
+            interpret=interpret,
+        )(a4, b4, la3, lb3)
     out = out.reshape(B)
     if pad_rows:
         out = out[: B - pad_rows]

@@ -47,11 +47,13 @@ _ALL_ONES = np.uint32(0xFFFFFFFF)
 DEFAULT_BLOCK_ROWS = 8192
 
 _MAX_WORDS = 2  # unrolled multi-word variant written for W <= 2 (L <= 64)
+_MAX_WORDS_WIDE = 16  # fori_loop wide variant (L <= 512: the full ladder)
 
 
 def supports_width(L: int) -> bool:
-    """True iff an unrolled specialization covers padded width L."""
-    return L <= _WORD * _MAX_WORDS
+    """True iff a kernel specialization covers padded width L (unrolled at
+    L <= 64, fori_loop wide variant through L <= 512)."""
+    return L <= _WORD * _MAX_WORDS_WIDE
 
 
 def _kernel(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
@@ -179,6 +181,86 @@ def _kernel_multiword(a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
     out_ref[0] = score
 
 
+def _kernel_wide(nmax_ref, a_ref, b_ref, la_ref, lb_ref, out_ref, *, L: int):
+    """Wide-bucket variant (W <= _MAX_WORDS_WIDE): identical Hyyrö OSA
+    recurrence to _kernel_multiword, scan over text positions as a
+    lax.fori_loop with a per-block dynamic trip count (scalar prefetch) —
+    see levenshtein_pallas_scan._kernel_wide for the design rationale."""
+    u32, i32 = jnp.uint32, jnp.int32
+    W = -(-L // _WORD)
+    la = la_ref[0]
+    lb = lb_ref[0]
+    shape = la.shape
+
+    m1 = jnp.maximum(la - 1, 0)
+    hword = m1 // _WORD
+    hbit = (m1 % _WORD).astype(u32)
+
+    pv0 = jnp.full((W,) + shape, _ALL_ONES, u32)
+    mv0 = jnp.zeros((W,) + shape, u32)
+    d0p0 = jnp.zeros((W,) + shape, u32)
+    pmo0 = jnp.zeros((W,) + shape, u32)
+    score0 = la.astype(i32)
+
+    def body(j, state):
+        pv, mv, d0p, pmo, score = state
+        b_j = b_ref[0, j]
+        eq = []
+        for w in range(W):
+            eq_i = jnp.zeros(shape, i32)
+            for i in range(w * _WORD, min((w + 1) * _WORD, L)):
+                wt = np.int32(np.uint32(1) << np.uint32(i % _WORD))
+                eq_i = eq_i | jnp.where(a_ref[0, i] == b_j, wt, np.int32(0))
+            eq.append(lax.bitcast_convert_type(eq_i, u32))
+        active = j < lb
+
+        carry = jnp.zeros(shape, u32)
+        tr_in = jnp.zeros(shape, u32)
+        hp_in = jnp.ones(shape, u32)
+        hn_in = jnp.zeros(shape, u32)
+        hp_bit = jnp.zeros(shape, u32)
+        hn_bit = jnp.zeros(shape, u32)
+        new_pv, new_mv, new_d0 = [], [], []
+        for w in range(W):  # carries flow low word -> high
+            eq_w, pv_w, mv_w = eq[w], pv[w], mv[w]
+            t = (~d0p[w]) & eq_w
+            tr = ((t << 1) | tr_in) & pmo[w]
+            tr_in = t >> (_WORD - 1)
+            x = eq_w & pv_w
+            s1 = x + pv_w
+            c1 = (s1 < x).astype(u32)
+            s2 = s1 + carry
+            c2 = (s2 < s1).astype(u32)
+            carry = c1 | c2
+            d0 = ((s2 ^ pv_w) | eq_w | mv_w) | tr
+            hp = mv_w | ~(d0 | pv_w)
+            hn = d0 & pv_w
+            sel = hword == w
+            hp_bit = jnp.where(sel, (hp >> hbit) & 1, hp_bit)
+            hn_bit = jnp.where(sel, (hn >> hbit) & 1, hn_bit)
+            hp_out = hp >> (_WORD - 1)
+            hn_out = hn >> (_WORD - 1)
+            hp_s = (hp << 1) | hp_in
+            hn_s = (hn << 1) | hn_in
+            hp_in, hn_in = hp_out, hn_out
+            new_pv.append(hn_s | ~(d0 | hp_s))
+            new_mv.append(hp_s & d0)
+            new_d0.append(d0)
+
+        delta = hp_bit.astype(i32) - hn_bit.astype(i32)
+        score = score + jnp.where(active, delta, 0)
+        act = active[None]
+        pv = jnp.where(act, jnp.stack(new_pv), pv)
+        mv = jnp.where(act, jnp.stack(new_mv), mv)
+        d0p = jnp.where(act, jnp.stack(new_d0), d0p)
+        pmo = jnp.where(act, jnp.stack(eq), pmo)
+        return pv, mv, d0p, pmo, score
+
+    n = nmax_ref[pl.program_id(0)]
+    _, _, _, _, score = lax.fori_loop(0, n, body, (pv0, mv0, d0p0, pmo0, score0))
+    out_ref[0] = score
+
+
 def _block_rows_for(B: int, block_rows: int) -> int:
     br = min(block_rows, B)
     while B % br:
@@ -196,16 +278,18 @@ def osa_distance_pallas(
     interpret: bool | None = None,
 ) -> Array:
     """OSA distance per row pair; Pallas unrolled Hyyrö scan (W=1 fast path
-    at L <= 32, inter-word carry chain at L <= 64). Contract identical to
+    at L <= 32, inter-word carry chain at L <= 64, fori_loop wide kernel
+    with per-block dynamic trips through L <= 512). Contract identical to
     ops.osa_myers.osa_distance_myers."""
     B, L = a.shape
     if not supports_width(L):
         raise ValueError(
-            f"pallas_scan kernel requires width <= {_WORD * _MAX_WORDS}, got {L}"
+            f"pallas_scan kernel requires width <= {_WORD * _MAX_WORDS_WIDE}, got {L}"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     i32 = jnp.int32
+    wide = L > _WORD * _MAX_WORDS
 
     pad_rows = 0
     if B % _SUB:
@@ -217,7 +301,9 @@ def osa_distance_pallas(
         len_b = jnp.concatenate([len_b, zi])
         B = B + pad_rows
 
-    BR = _block_rows_for(B, block_rows)
+    from strsim_tpu.ops.levenshtein_pallas_scan import _wide_block_rows
+
+    BR = _block_rows_for(B, _wide_block_rows(L, block_rows) if wide else block_rows)
     BR8 = BR // _SUB
     G = B // BR
 
@@ -228,23 +314,48 @@ def osa_distance_pallas(
     la3 = len_a.astype(i32).reshape(G, _SUB, BR8)
     lb3 = len_b.astype(i32).reshape(G, _SUB, BR8)
 
-    def tile_spec(rows):
-        return pl.BlockSpec(
-            (1, rows, _SUB, BR8), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+    if wide:
+        nmax = jnp.minimum(jnp.max(lb3, axis=(1, 2)), L).astype(i32)  # [G]
+
+        def tile_spec(rows):
+            return pl.BlockSpec(
+                (1, rows, _SUB, BR8), lambda g, n: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        row_spec = pl.BlockSpec(
+            (1, _SUB, BR8), lambda g, n: (g, 0, 0), memory_space=pltpu.VMEM
         )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
+            out_specs=row_spec,
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel_wide, L=L),
+            out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(nmax, a4, b4, la3, lb3)
+    else:
+        def tile_spec(rows):
+            return pl.BlockSpec(
+                (1, rows, _SUB, BR8), lambda g: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
 
-    row_spec = pl.BlockSpec(
-        (1, _SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    out = pl.pallas_call(
-        functools.partial(_kernel if L <= _WORD else _kernel_multiword, L=L),
-        out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
-        grid=(G,),
-        in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
-        out_specs=row_spec,
-        interpret=interpret,
-    )(a4, b4, la3, lb3)
+        row_spec = pl.BlockSpec(
+            (1, _SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            functools.partial(_kernel if L <= _WORD else _kernel_multiword, L=L),
+            out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
+            grid=(G,),
+            in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
+            out_specs=row_spec,
+            interpret=interpret,
+        )(a4, b4, la3, lb3)
     out = out.reshape(B)
     if pad_rows:
         out = out[: B - pad_rows]

@@ -349,7 +349,22 @@ def compute_stats(
             out["lev_d"] = levenshtein_distance_myers(a, b, len_a, len_b)
     if "jaro_m" in need:
         jaro_impl = impl.get("jaro", "bitmask")
-        if jaro_impl == "pallas":
+        if jaro_impl == "pallas_scan":
+            from strsim_tpu.ops import jaro_pallas_scan as jps
+
+            if not jps.supports_width(a.shape[1]) or a.dtype.itemsize != 1:
+                # forced selection outside the kernel's contract (wide bucket
+                # or wide-codepoint tiles): same-contract XLA kernel
+                from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+
+                out["jaro_m"], out["jaro_t"] = jaro_match_stats_bitmask(
+                    a, b, len_a, len_b
+                )
+            else:
+                out["jaro_m"], out["jaro_t"] = jps.jaro_match_stats_pallas_scan(
+                    a, b, len_a, len_b
+                )
+        elif jaro_impl == "pallas":
             from strsim_tpu.ops.jaro_pallas import jaro_match_stats_pallas
 
             out["jaro_m"], out["jaro_t"] = jaro_match_stats_pallas(a, b, len_a, len_b)

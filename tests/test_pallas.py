@@ -163,25 +163,145 @@ def test_pallas_osa_scan_fuzz_matches_xla(width):
     np.testing.assert_array_equal(got, want)
 
 
-def test_pallas_osa_scan_rejects_wide():
+def _wide_pairs(width, seed, swaps=False):
+    """Random pairs spanning a wide bucket: long rows near the width, short
+    rows, empties, equals, and (optionally) adjacent transpositions."""
+    rng = random.Random(seed)
+    pairs = []
+    for i in range(67):  # odd count: exercises the sublane pad path
+        la = rng.choice([0, 1, width // 3, width - 1, width, rng.randrange(1, width + 1)])
+        lb = rng.choice([0, 1, width // 2, width, rng.randrange(1, width + 1)])
+        a = "".join(rng.choice("abcd") for _ in range(la))
+        b = "".join(rng.choice("abcd") for _ in range(lb))
+        if i % 11 == 0:
+            b = a
+        if swaps and i % 13 == 0 and len(a) > 2:
+            k = rng.randrange(len(a) - 1)
+            b = a[:k] + a[k + 1] + a[k] + a[k + 2:]
+        pairs.append((a, b))
+    return pairs
+
+
+@pytest.mark.parametrize("width", [95, 255, 511])
+def test_pallas_scan_wide_fuzz_matches_xla_myers(width):
+    """fori_loop wide kernel (W = 3..16, per-block dynamic trips) vs the XLA
+    Myers kernel across the 95..511 ladder tail. Interpretable in CI time
+    because the wide body compiles once (no full unroll)."""
+    from strsim_tpu.ops.levenshtein_myers import levenshtein_distance_myers
+    from strsim_tpu.ops.levenshtein_pallas_scan import (
+        levenshtein_distance_myers_pallas,
+    )
+
+    ca, cb, la, lb = _tiles(_wide_pairs(width, seed=width), width=width)
+    got = np.asarray(
+        levenshtein_distance_myers_pallas(ca, cb, la, lb, interpret=True)
+    )
+    want = np.asarray(levenshtein_distance_myers(ca, cb, la, lb))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("width", [95, 511])
+def test_pallas_osa_scan_wide_fuzz_matches_xla(width):
+    from strsim_tpu.ops.osa_myers import osa_distance_myers
+    from strsim_tpu.ops.osa_pallas_scan import osa_distance_pallas
+
+    ca, cb, la, lb = _tiles(_wide_pairs(width, seed=width * 7, swaps=True), width=width)
+    got = np.asarray(osa_distance_pallas(ca, cb, la, lb, interpret=True))
+    want = np.asarray(osa_distance_myers(ca, cb, la, lb))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_osa_scan_rejects_beyond_ladder():
     from strsim_tpu.ops.osa_pallas_scan import osa_distance_pallas, supports_width
 
-    assert supports_width(64) and not supports_width(65)
-    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=95)
+    assert supports_width(64) and supports_width(511) and not supports_width(513)
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=640)
     with pytest.raises(ValueError):
         osa_distance_pallas(ca, cb, la, lb, interpret=True)
 
 
-def test_pallas_scan_rejects_wide():
+def test_pallas_scan_rejects_beyond_ladder():
     from strsim_tpu.ops.levenshtein_pallas_scan import (
         levenshtein_distance_myers_pallas,
         supports_width,
     )
 
-    assert supports_width(32) and supports_width(64) and not supports_width(65)
-    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=95)
+    assert supports_width(32) and supports_width(511) and not supports_width(513)
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=640)
     with pytest.raises(ValueError):
         levenshtein_distance_myers_pallas(ca, cb, la, lb, interpret=True)
+
+
+# --- fused jaro kernel (ops/jaro_pallas_scan.py) ---
+
+
+def _byte_tiles(pairs, width):
+    """int8 tiles (the fused jaro kernel's contract — pure-ASCII buckets)."""
+    ca, cb, la, lb = _tiles(pairs, width)
+    return ca.astype(jnp.int8), cb.astype(jnp.int8), la, lb
+
+
+def test_pallas_jaro_fused_golden(golden):
+    from strsim_tpu.ops.jaro_pallas_scan import jaro_match_stats_pallas_scan
+
+    # len-1/len-1 excluded: oracle.jaro_stats has no strsim.rs:197-199
+    # special case (kernels patch it; the fuzz test below covers it vs the
+    # bitmask kernel, and the end-to-end suites cover the final scores)
+    pairs = [
+        (a, b)
+        for a, b, _ in golden["jaro"]
+        if a and b and not (len(a) == 1 and len(b) == 1)
+    ]
+    ca, cb, la, lb = _byte_tiles(pairs, width=31)
+    m, t = jaro_match_stats_pallas_scan(ca, cb, la, lb, interpret=True)
+    want = [oracle.jaro_stats(a, b) for a, b in pairs]
+    np.testing.assert_array_equal(np.asarray(m), np.array([w[0] for w in want]))
+    np.testing.assert_array_equal(np.asarray(t), np.array([w[1] for w in want]))
+
+
+@pytest.mark.parametrize("width", [7, 15])
+def test_pallas_jaro_fused_fuzz_matches_bitmask(width):
+    """Bit-exact agreement with the XLA bitmask kernel — tight alphabet so
+    transpositions, repeated chars, and greedy-order ties are dense; incl.
+    empty sides, equal pairs, len-1 pairs, and a batch not divisible by 8.
+    Widths 23-63 are held to 262K-row bit-exact parity vs the bitmask kernel
+    on real TPU (tools/ab_jaro_fused.py) — the fully-unrolled interpret
+    programs there are too slow for CI."""
+    from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+    from strsim_tpu.ops.jaro_pallas_scan import jaro_match_stats_pallas_scan
+
+    rng = random.Random(width * 13)
+    pairs = []
+    for i in range(203):
+        la = rng.randrange(0, width + 1)
+        lb = rng.randrange(0, width + 1)
+        a = "".join(rng.choice("ab") for _ in range(la))
+        b = "".join(rng.choice("ab") for _ in range(lb))
+        if i % 11 == 0:
+            b = a
+        pairs.append((a, b))
+    ca, cb, la, lb = _byte_tiles(pairs, width=width)
+    m1, t1 = jaro_match_stats_pallas_scan(ca, cb, la, lb, interpret=True)
+    m0, t0 = jaro_match_stats_bitmask(ca, cb, la, lb)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_pallas_jaro_fused_rejects_wide_and_int32():
+    from strsim_tpu.ops.jaro_pallas_scan import (
+        jaro_match_stats_pallas_scan,
+        supports_width,
+    )
+
+    assert supports_width(64) and not supports_width(65)
+    ca, cb, la, lb = _byte_tiles([("abc", "abd")] * 8, width=95)
+    with pytest.raises(ValueError):
+        jaro_match_stats_pallas_scan(ca, cb, la, lb, interpret=True)
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=8)
+    with pytest.raises(ValueError):
+        jaro_match_stats_pallas_scan(
+            ca.astype(jnp.int32), cb.astype(jnp.int32), la, lb, interpret=True
+        )
 
 
 # --- production multiset kernel (ops/multiset_pallas.py) ---
