@@ -34,22 +34,33 @@ def _encode(col_a, col_b):
     return enc._repad(a, enc.PAD_A, w), enc._repad(b, enc.PAD_B, w)
 
 
-def _timed(measures, a, b, warm_slice=None):
-    # the warm slice must EXCEED the host short-circuit threshold, or it
-    # never touches the device and the timed run pays cold compile (the
-    # round-2 197s→63s config-2 artifact was exactly this)
-    from strsim_tpu.config import get_config
+def _timed(measures, a, b):
+    """Two identical full passes: the first pays every compile (through the
+    persistent cache) and is reported as compile_warm_wall_s; the second is
+    the steady state. The round-2 matrix warmed a SLICE, whose smaller block
+    shapes left the full run's shapes cold — config 2's published 1,327
+    pairs/s measured the compile tunnel, not the engine (VERDICT r2 item 3).
 
-    warm_slice = warm_slice or 2 * get_config().host_short_circuit_rows
-    compute_scores(a.slice(0, min(warm_slice, a.n)), b.slice(0, min(warm_slice, b.n)), measures)
+    steady_pairs_per_sec is still end-to-end INCLUDING host<->device
+    transfer, which in this harness rides a ~30 MB/s relay tunnel — the
+    device-only rate (n / device_wall_s, cross-checkable against
+    BENCH_DETAILS resident numbers + the transfer model) is reported
+    alongside."""
+    t0 = time.perf_counter()
+    compute_scores(a, b, measures)  # warm pass: identical shapes -> compiles
+    warm_dt = time.perf_counter() - t0
     metrics = RunMetrics()
     t0 = time.perf_counter()
     compute_scores(a, b, measures, metrics=metrics)
     dt = time.perf_counter() - t0
     return {
-        "pairs_per_sec": a.n / dt,
-        "wall_s": dt,
-        "device_wall_s": metrics.device_wall_s,
+        "compile_warm_wall_s": round(warm_dt, 3),
+        "steady_pairs_per_sec": a.n / dt,
+        "steady_wall_s": round(dt, 3),
+        "device_wall_s": round(metrics.device_wall_s, 3),
+        "device_only_pairs_per_sec": (
+            round(a.n / metrics.device_wall_s) if metrics.device_wall_s else None
+        ),
         "buckets": {
             str(w): {"rows": bm.rows, "padding_waste": round(bm.padding_waste, 4)}
             for w, bm in metrics.buckets.items()
@@ -158,7 +169,10 @@ def main():
             out[name] = {"error": f"{type(e).__name__}: {e}"}
     with open("BENCH_CONFIGS.json", "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps({k: v.get("pairs_per_sec", v) for k, v in out.items()}, default=str))
+    print(json.dumps(
+        {k: v.get("steady_pairs_per_sec", v) for k, v in out.items()},
+        default=str,
+    ))
 
 
 if __name__ == "__main__":

@@ -45,14 +45,15 @@ REPS = 3
 MEASURES = ("jaro_winkler", "levenshtein", "jaccard")
 
 
-def _stage_candidates(cand, width):
-    """Pad candidates into [NB, CB, width] int32 blocks (as top_k_matches)."""
+def _stage_candidates(cand, width, dtype=np.int32):
+    """Pad candidates into [NB, CB, width] blocks (as top_k_matches — int8
+    for ASCII columns, the production staging dtype)."""
     from strsim_tpu.utils import encode as enc
 
     c = enc.encode_column(cand, pad=enc.PAD_B, width=width)
     C = c.n
     nb = -(-C // CB)
-    codes = np.full((nb, CB, width), enc.PAD_B, dtype=np.int32)
+    codes = np.full((nb, CB, width), enc.PAD_B, dtype=dtype)
     lens = np.zeros((nb, CB), dtype=np.int32)
     valid = np.zeros((nb, CB), dtype=bool)
     for i in range(nb):
@@ -64,19 +65,20 @@ def _stage_candidates(cand, width):
     return codes, lens, valid
 
 
-def resident_rate(measure, q_codes, q_len, codes, lens, valid):
+def resident_rate(measure, q_codes, q_len, codes, lens, valid, impls=()):
     """Marginal candidate-pairs/s via scan-length differencing.
 
     Candidate blocks are uploaded ONCE ([nb0, CB, W] through the relay);
     longer scans reuse them by tiling ON DEVICE (an HBM copy, no relay
     traffic). The scan length doubles until the marginal wall difference is
     large against relay jitter (same adaptation as devicetime.marginal_...).
+    `impls`: production kernel selection (as top_k_matches passes it).
     """
     import jax.numpy as jnp
 
     from strsim_tpu.models.linkage import _scan_scorer
 
-    scorer = _scan_scorer(measure, K)
+    scorer = _scan_scorer(measure, K, impls)
     dq, dql = jnp.asarray(q_codes), jnp.asarray(q_len)
     dc, dcl, dcv = jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(valid)
     nb0 = codes.shape[0]
@@ -114,7 +116,7 @@ def resident_rate(measure, q_codes, q_len, codes, lens, valid):
     }
 
 
-def resident_rate_multi(measures, weights, q_fields, c_fields):
+def resident_rate_multi(measures, weights, q_fields, c_fields, field_impls=()):
     """Marginal candidate-RECORD-pairs/s for the multi-field ensemble scorer
     (same scan-length differencing as resident_rate; each record pair scores
     len(measures) per-field measures plus the weighted combine on device)."""
@@ -122,7 +124,8 @@ def resident_rate_multi(measures, weights, q_fields, c_fields):
 
     from strsim_tpu.models.linkage import _scan_scorer_multi
 
-    scorer = _scan_scorer_multi(tuple(measures), tuple(weights), K, "renormalize")
+    scorer = _scan_scorer_multi(tuple(measures), tuple(weights), K, "renormalize",
+                                impls=field_impls)
     dq = tuple(jnp.asarray(q) for q, _, _ in q_fields)
     dql = tuple(jnp.asarray(l) for _, l, _ in q_fields)
     dqv = tuple(jnp.asarray(v) for _, _, v in q_fields)
@@ -251,9 +254,20 @@ def main() -> None:
     ce_probe = enc.encode_column(cand, pad=enc.PAD_B)
     width = max(qe.width, ce_probe.width)
     qe = enc._repad(qe, enc.PAD_A, width)
-    q_codes = qe.codes.astype(np.int32)
+    # production staging dtype: int8 when both sides are native-proven ASCII
+    # (models/linkage._tile_dtype) — unlocks the fused Pallas jaro kernel
+    dtype = (
+        np.int8
+        if qe.codes.dtype == np.int8 and ce_probe.codes.dtype == np.int8
+        else np.int32
+    )
+    from strsim_tpu.config import get_config
+    from strsim_tpu.models.linkage import _impls_for_width
+
+    impls = _impls_for_width(get_config(), width, dtype)
+    q_codes = qe.codes.astype(dtype)
     q_len = np.where(qe.validity, qe.lengths, 0).astype(np.int32)
-    codes, lens, valid = _stage_candidates(cand, width)
+    codes, lens, valid = _stage_candidates(cand, width, dtype)
 
     out = {
         "_meta": {
@@ -280,7 +294,7 @@ def main() -> None:
         details = {"measures": {}}
 
     for m in MEASURES:
-        rate, walls = resident_rate(m, q_codes, q_len, codes, lens, valid)
+        rate, walls = resident_rate(m, q_codes, q_len, codes, lens, valid, impls)
         base = details["measures"].get(m, {}).get("baseline_single_core_pairs_per_sec")
         out["measures"][m] = {
             "resident_candidate_pairs_per_sec": round(rate),
@@ -298,19 +312,26 @@ def main() -> None:
     ce2_probe = enc.encode_column(cand2, pad=enc.PAD_B)
     width2 = max(qe2.width, ce2_probe.width)
     qe2 = enc._repad(qe2, enc.PAD_A, width2)
+    dtype2 = (
+        np.int8
+        if qe2.codes.dtype == np.int8 and ce2_probe.codes.dtype == np.int8
+        else np.int32
+    )
+    impls2 = _impls_for_width(get_config(), width2, dtype2)
     q_fields = [
         (q_codes, q_len, qe.validity.copy()),
         (
-            qe2.codes.astype(np.int32),
+            qe2.codes.astype(dtype2),
             np.where(qe2.validity, qe2.lengths, 0).astype(np.int32),
             qe2.validity.copy(),
         ),
     ]
     c_fields = [
         (codes, lens, valid),
-        _stage_candidates(cand2, width2),
+        _stage_candidates(cand2, width2, dtype2),
     ]
-    rate, walls = resident_rate_multi(ens_measures, ens_weights, q_fields, c_fields)
+    rate, walls = resident_rate_multi(ens_measures, ens_weights, q_fields,
+                                      c_fields, (impls, impls2))
     base = [
         details["measures"].get(m, {}).get("baseline_single_core_pairs_per_sec")
         for m in ens_measures
