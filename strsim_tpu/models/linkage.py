@@ -70,11 +70,33 @@ def _tile_dtype(q: enc.EncodedColumn, c: enc.EncodedColumn):
     return np.int32
 
 
+def _linkage_shardings(n_dev: int):
+    """(query-sharded 2D, query-sharded 1D, replicated) NamedShardings over
+    the batch mesh. The linkage cross product shards on the QUERY axis —
+    each device scores its own query rows against the (replicated) candidate
+    blocks and keeps its own running top-k, so the partition needs ZERO
+    collectives (the per-device [qb/n, k] results are just gathered to host).
+    Candidate-axis sharding would need a cross-device top-k merge instead."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from strsim_tpu.config import get_config
+    from strsim_tpu.models.pipeline import _data_mesh
+
+    cfg = get_config()
+    mesh = _data_mesh(n_dev, cfg)
+    ax = cfg.batch_axis
+    return (
+        NamedSharding(mesh, P(ax, None)),
+        NamedSharding(mesh, P(ax)),
+        NamedSharding(mesh, P()),
+    )
+
+
 @functools.lru_cache(maxsize=64)
-def _scan_scorer(measure: str, k: int, impls: Tuple[Tuple[str, str], ...] = ()):
+def _scan_scorer(measure: str, k: int, impls: Tuple[Tuple[str, str], ...] = (),
+                 n_dev: int = 1):
     from strsim_tpu.ops.finalize_device import scores_on_device
 
-    @jax.jit
     def score_all(q_codes, q_len, c_blocks, c_len_blocks, c_valid_blocks, c_offsets):
         """q_codes [qb, W]; c_blocks [NB, cb, W]; returns ([qb, k] scores,
         [qb, k] global candidate indices). Running top-k carried on device."""
@@ -107,7 +129,10 @@ def _scan_scorer(measure: str, k: int, impls: Tuple[Tuple[str, str], ...] = ()):
         )
         return best_v, best_i
 
-    return score_all
+    if n_dev > 1:
+        q2, q1, rep = _linkage_shardings(n_dev)
+        return jax.jit(score_all, in_shardings=(q2, q1, rep, rep, rep, rep))
+    return jax.jit(score_all)
 
 
 def top_k_matches(
@@ -118,13 +143,20 @@ def top_k_matches(
     config: Optional[StrsimConfig] = None,
     query_block: int = 128,
     candidate_block: int = 2048,
+    data_parallel_devices: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (indices [Q, k] int64, scores [Q, k] f32): for each query, the
     indices of the k best-matching candidates (descending score) and their
     scores. Null queries get index -1 / score NaN; null candidates never
     match. When fewer than k candidates exist, trailing columns are -1 / NaN
-    (the output is always k wide)."""
+    (the output is always k wide).
+
+    data_parallel_devices (default: config.data_parallel_devices): shard each
+    query block across an N-device batch mesh — queries partition, candidate
+    blocks replicate, each device carries its own running top-k (zero
+    collectives; see _linkage_shardings)."""
     cfg = config or get_config()
+    n_dev = data_parallel_devices or cfg.data_parallel_devices or 1
     q = enc.encode_column(queries, pad=enc.PAD_A)
     c = enc.encode_column(candidates, pad=enc.PAD_B)
     width = max(q.width, c.width)
@@ -142,6 +174,8 @@ def top_k_matches(
     # top-k would be narrower than the requested output
     cb = min(max(candidate_block, k_eff), max(C, 1))
     qb = min(query_block, max(Q, 1))
+    if n_dev > 1:  # each device must own whole query rows
+        qb = -(-qb // n_dev) * n_dev
 
     # stage candidate blocks on device ONCE (shared across query blocks)
     dtype = _tile_dtype(q, c)
@@ -161,7 +195,7 @@ def top_k_matches(
     dev_cv = jnp.asarray(c_valid)
     dev_off = jnp.asarray(c_offsets)
 
-    scorer = _scan_scorer(measure, k_eff, _impls_for_width(cfg, width, dtype))
+    scorer = _scan_scorer(measure, k_eff, _impls_for_width(cfg, width, dtype), n_dev)
     best_scores = np.full((Q, k_eff), -np.inf, dtype=np.float32)
     best_idx = np.full((Q, k_eff), -1, dtype=np.int64)
 
@@ -185,7 +219,7 @@ def top_k_matches(
                 f"{e}); recomputing block on XLA kernels",
                 RuntimeWarning,
             )
-            scorer = _scan_scorer(measure, k_eff)
+            scorer = _scan_scorer(measure, k_eff, (), n_dev)
             vals, idx = scorer(*args)
         best_scores[q0:q1] = np.asarray(vals)[:nq]
         best_idx[q0:q1] = np.asarray(idx)[:nq].astype(np.int64)
@@ -208,14 +242,14 @@ def top_k_matches(
 @functools.lru_cache(maxsize=64)
 def _scan_scorer_multi(measures: Tuple[str, ...], weights: Tuple[float, ...],
                        k: int, missing: str, exclude: bool = False,
-                       impls: Tuple[Tuple[Tuple[str, str], ...], ...] = ()):
+                       impls: Tuple[Tuple[Tuple[str, str], ...], ...] = (),
+                       n_dev: int = 1):
     from strsim_tpu.ops.finalize_device import scores_on_device
 
     F = len(measures)
     field_impls = impls if impls else ((),) * F
     w_total = np.float32(sum(weights))
 
-    @jax.jit
     def score_all(q_codes, q_len, q_valid, c_blocks, c_len_blocks,
                   c_valid_blocks, c_offsets, q_excl=None):
         """Per-field tuples: q_codes[f] [qb, Wf]; c_blocks[f] [NB, cb, Wf].
@@ -271,7 +305,14 @@ def _scan_scorer_multi(measures: Tuple[str, ...], weights: Tuple[float, ...],
         )
         return best_v, best_i
 
-    return score_all
+    if n_dev > 1:
+        q2, q1, rep = _linkage_shardings(n_dev)
+        shardings = [(q2,) * F, (q1,) * F, (q1,) * F,
+                     (rep,) * F, (rep,) * F, (rep,) * F, rep]
+        if exclude:
+            shardings.append(q1)
+        return jax.jit(score_all, in_shardings=tuple(shardings))
+    return jax.jit(score_all)
 
 
 def _normalize_fields(measures, weights, n_fields: int):
@@ -308,6 +349,7 @@ def top_k_matches_multi(
     query_block: int = 128,
     candidate_block: int = 2048,
     exclude_index: Optional[Sequence[int]] = None,
+    data_parallel_devices: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Record-level top-k matching over several string fields.
 
@@ -338,6 +380,7 @@ def top_k_matches_multi(
         )
     measures, weights = _normalize_fields(measures, weights, F)
     cfg = config or get_config()
+    n_dev = data_parallel_devices or cfg.data_parallel_devices or 1
     excl = None
     if exclude_index is not None:
         excl = np.asarray(exclude_index, dtype=np.int32)
@@ -363,6 +406,8 @@ def top_k_matches_multi(
     k_eff = min(k, C)
     cb = min(max(candidate_block, k_eff), max(C, 1))
     qb = min(query_block, max(Q, 1))
+    if n_dev > 1:  # each device must own whole query rows
+        qb = -(-qb // n_dev) * n_dev
     nb = max(1, -(-C // cb))
 
     # stage candidate blocks on device ONCE per field (shared across queries)
@@ -389,7 +434,8 @@ def top_k_matches_multi(
         for c, fdt in zip(cs, field_dtypes)
     )
     scorer = _scan_scorer_multi(measures, weights, k_eff, missing,
-                                exclude=excl is not None, impls=field_impls)
+                                exclude=excl is not None, impls=field_impls,
+                                n_dev=n_dev)
     best_scores = np.full((Q, k_eff), -np.inf, dtype=np.float32)
     best_idx = np.full((Q, k_eff), -1, dtype=np.int64)
 
@@ -429,7 +475,7 @@ def top_k_matches_multi(
                 RuntimeWarning,
             )
             scorer = _scan_scorer_multi(measures, weights, k_eff, missing,
-                                        exclude=excl is not None)
+                                        exclude=excl is not None, n_dev=n_dev)
             vals, idx = scorer(*args)
         best_scores[q0:q1] = np.asarray(vals)[:nq]
         best_idx[q0:q1] = np.asarray(idx)[:nq].astype(np.int64)
@@ -449,6 +495,7 @@ def dedup_top_k(
     config: Optional[StrsimConfig] = None,
     query_block: int = 128,
     candidate_block: int = 2048,
+    data_parallel_devices: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Self-join deduplication: for every record, its k nearest OTHER records
     under the weighted ensemble (the trivial self-match is suppressed on
@@ -460,6 +507,7 @@ def dedup_top_k(
         fields, fields, measures=measures, weights=weights, k=k,
         missing=missing, config=config, query_block=query_block,
         candidate_block=candidate_block, exclude_index=np.arange(n),
+        data_parallel_devices=data_parallel_devices,
     )
 
 

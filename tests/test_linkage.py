@@ -236,6 +236,149 @@ def test_dedup_top_k_excludes_self():
     assert idx[2, 0] == 3 and idx[3, 0] == 2
 
 
+# ---------------------------------------------------------------------------
+# Batch-mesh sharded linkage (VERDICT r2 item 5): query-axis data parallelism
+# over the 8 virtual devices must be bit-identical to the single-device path.
+# ---------------------------------------------------------------------------
+
+
+def test_topk_sharded_matches_single_device():
+    import jax
+
+    n_dev = min(8, len(jax.devices()))
+    queries = ["phillips", "jonsen", None, "washingtom", "smith"] * 5
+    ref_i, ref_s = top_k_matches(queries, CANDIDATES, measure="jaro_winkler",
+                                 k=4, candidate_block=5)
+    got_i, got_s = top_k_matches(queries, CANDIDATES, measure="jaro_winkler",
+                                 k=4, candidate_block=5,
+                                 data_parallel_devices=n_dev)
+    np.testing.assert_array_equal(got_i, ref_i)
+    np.testing.assert_array_equal(got_s, ref_s)
+
+
+def test_topk_multi_sharded_matches_single_device():
+    import jax
+
+    n_dev = min(8, len(jax.devices()))
+    qf = [Q_GIVEN * 3, Q_SUR * 3]
+    cf = [C_GIVEN, C_SUR]
+    kw = dict(measures=MEASURES, weights=WEIGHTS, k=3, candidate_block=4)
+    ref_i, ref_s = top_k_matches_multi(qf, cf, **kw)
+    got_i, got_s = top_k_matches_multi(qf, cf, data_parallel_devices=n_dev, **kw)
+    np.testing.assert_array_equal(got_i, ref_i)
+    np.testing.assert_array_equal(got_s, ref_s)
+
+
+def test_dedup_sharded_matches_single_device():
+    import jax
+
+    n_dev = min(8, len(jax.devices()))
+    from strsim_tpu.models.linkage import dedup_top_k
+
+    names = ["phillips", "philips", "smith", "smyth", "phillips", "jones"] * 2
+    ref = dedup_top_k([names], measures="jaro", k=3)
+    got = dedup_top_k([names], measures="jaro", k=3, data_parallel_devices=n_dev)
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_array_equal(got[1], ref[1])
+
+
+# ---------------------------------------------------------------------------
+# Adversarial f32 ranking ties (VERDICT r2 item 6)
+#
+# The top-k path ranks on device f32 scores. Jaro scores are rationals with
+# denominators up to 3*la*lb*m, so two candidates can have exact f64 scores
+# that differ by ~1e-9 — BELOW one f32 ulp — while being genuinely distinct.
+# These tests construct such candidates (plus an exact duplicate), and assert
+# (a) the returned (index, score) pairs are deterministic, (b) f32-tied
+# groups return ascending candidate indices (lax.top_k's stable tie break),
+# and (c) the documented exact-f64 rescoring companion restores the
+# reference order that f32 cannot see.
+# ---------------------------------------------------------------------------
+
+_TIE_LA = 509
+
+
+def _tie_query() -> str:
+    return "".join(chr(0x4E00 + i) for i in range(_TIE_LA))
+
+
+def _tie_candidate(q: str, m: int, lb: int, t_raw: int) -> str:
+    """A candidate realizing exact jaro stats (m, t_raw) against `q`: the
+    first m query chars (each adjacent swap contributes 2 raw transpositions)
+    followed by lb-m junk chars disjoint from the query alphabet. The greedy
+    window bound max(la,lb)//2-1 >= 253 covers every constructed position."""
+    mm = [q[i] for i in range(m)]
+    for p in range(t_raw // 2):
+        mm[2 * p], mm[2 * p + 1] = mm[2 * p + 1], mm[2 * p]
+    junk = [chr(0x6000 + 16 * lb + i) for i in range(lb - m)]
+    return "".join(mm + junk)
+
+
+# (m, lb, t_raw) stat pairs whose exact f64 jaro scores vs the 509-char query
+# differ by ~1e-9..2e-8 (distinct) yet collide in f32. LO scores strictly
+# below HI in exact f64.
+_TIE_LO = (10, 157, 4)
+_TIE_HI = (12, 454, 4)
+
+
+def test_f32_tie_premise_and_exact_rescoring_restores_order():
+    import strsim_tpu as st
+
+    q = _tie_query()
+    c_lo = _tie_candidate(q, *_TIE_LO)
+    c_hi = _tie_candidate(q, *_TIE_HI)
+    exact = st.compute("jaro", [q, q], [c_lo, c_hi])
+    # premise: genuinely distinct in f64, indistinguishable in f32
+    assert exact[0] < exact[1]
+    assert np.float32(exact[0]) == np.float32(exact[1])
+
+    cands = [c_lo, c_hi, c_lo]  # exact duplicate of c_lo at index 2
+    idx1, sc1 = top_k_matches([q], cands, measure="jaro", k=3)
+    idx2, sc2 = top_k_matches([q], cands, measure="jaro", k=3)
+    # (a) deterministic across runs
+    np.testing.assert_array_equal(idx1, idx2)
+    np.testing.assert_array_equal(sc1, sc2)
+    # (b) the whole group is one f32 tie -> stable ascending-index order
+    assert len(set(sc1[0].tolist())) == 1
+    np.testing.assert_array_equal(idx1[0], [0, 1, 2])
+    # (c) exact-f64 rescoring of the returned pairs recovers the true order
+    resc = st.compute("jaro", [q] * 3, [cands[i] for i in idx1[0]])
+    true_winner = idx1[0][int(np.argmax(resc))]
+    assert true_winner == 1  # c_hi — invisible to the f32 ranking
+    # and the exact duplicates rescore byte-identically
+    assert resc[0] == resc[2]
+
+
+@pytest.mark.parametrize("missing", ["renormalize", "zero"])
+def test_f32_tie_multi_deterministic_both_missing_policies(missing):
+    import strsim_tpu as st
+
+    q = _tie_query()
+    c_lo = _tie_candidate(q, *_TIE_LO)
+    c_hi = _tie_candidate(q, *_TIE_HI)
+    cands = [c_lo, c_hi, c_lo]
+    # second field null on the query side: exercises the missing policy on
+    # every candidate while field 1 carries the f32-tied scores
+    qf = [[q], [None]]
+    cf = [cands, ["x", None, "x"]]
+    runs = [
+        top_k_matches_multi(qf, cf, measures=("jaro", "levenshtein"),
+                            weights=(2.0, 1.0), k=3, missing=missing)
+        for _ in range(2)
+    ]
+    np.testing.assert_array_equal(runs[0][0], runs[1][0])
+    np.testing.assert_array_equal(runs[0][1], runs[1][1])
+    idx, sc = runs[0]
+    np.testing.assert_array_equal(idx[0], [0, 1, 2])  # stable f32 tie order
+    # exact rescoring companion (same field order contract) breaks the tie
+    resc = ensemble_scores(
+        [[q] * 3, [None] * 3],
+        [[cands[i] for i in idx[0]], ["x", None, "x"]],
+        measures=("jaro", "levenshtein"), weights=(2.0, 1.0), missing=missing,
+    )
+    assert resc[1] == max(resc)  # c_hi wins in exact f64
+
+
 def test_exclude_index_custom_and_validation():
     # exclude candidate 0 for every query: it may never be returned
     idx, scores = top_k_matches_multi(
