@@ -188,10 +188,11 @@ def measure_resident(a, b, measures):
         width = int(w)
         sel = idx[bucket_of == w]
         sel = sel[np.argsort(la[sel].astype(np.int64) + lb[sel], kind="stable")]
-        block = min(
-            pp._block_rows(width, cfg, measures), pp._round_batch(sel.size, cfg)
-        )
         dtype = np.int8 if cfg.narrow_tiles else np.int32
+        block = min(
+            pp._block_rows(width, cfg, measures, dtype),
+            pp._round_batch(sel.size, cfg),
+        )
         n_pad = ((sel.size + block - 1) // block) * block
         w_have = min(width, a.codes.shape[1])
         from strsim_tpu.utils.alloc import fast_empty

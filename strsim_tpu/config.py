@@ -52,7 +52,9 @@ class StrsimConfig:
     #     alias), "scan" (round-1 [L,B]-flag scan), "pallas" (round-2
     #     scan-only experiment).
     #   multiset: "auto" (production default — "pallas_scan" on TPU at
-    #     widths <= 63, "chunked" otherwise), "pallas_scan" (unrolled
+    #     widths <= 63; "pallas_hist" for wide int8/ASCII buckets (dynamic-
+    #     range histogram, O(range*L) — ops/multiset_pallas.py); "chunked"
+    #     otherwise), "pallas_scan" (unrolled
     #     VMEM-resident occurrence-rank kernel, ops/multiset_pallas.py —
     #     measured +30..130% over "chunked" on v5e,
     #     tools/ab_multiset_pallas.py), "chunked" (G i-positions per fused

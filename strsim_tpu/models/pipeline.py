@@ -46,20 +46,28 @@ def _round_batch(n: int, cfg: StrsimConfig) -> int:
     return cfg.max_batch_block
 
 
-def _multiset_impl_for(cfg: StrsimConfig, width: int) -> str:
+def _multiset_impl_for(cfg: StrsimConfig, width: int, dtype=None) -> str:
     """Resolve the effective multiset kernel for a bucket width. "auto"
     (default) picks the Pallas unrolled kernel on TPU at widths <= 63 —
     measured +130%/+30%/+34%/+35%/+39% at w7/15/31/47/63 over the chunked
-    scan on v5e (tools/ab_multiset_pallas.py) — and the chunked scan beyond
-    (it measured fastest among the XLA variants in every band,
-    tools/ab_multiset_chunked.py; chunk width G is bucket-dependent inside
-    the kernel, ops/multiset_loop.py)."""
+    scan on v5e (tools/ab_multiset_pallas.py); the dynamic-range histogram
+    Pallas kernel for wide int8/ASCII buckets (O(range*L) vs the
+    occurrence-rank O(L^2) — ops/multiset_pallas.multiset_intersection_hist);
+    and the chunked XLA scan elsewhere (wide int32 buckets, non-TPU)."""
     impl = cfg.multiset_impl
     if impl == "auto":
         from strsim_tpu.ops.multiset_pallas import supports_width
 
-        if supports_width(width) and jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        if supports_width(width) and on_tpu:
             return "pallas_scan"
+        if (
+            on_tpu
+            and width <= 512
+            and dtype is not None
+            and np.dtype(dtype).itemsize == 1
+        ):
+            return "pallas_hist"
         return "chunked"
     return impl
 
@@ -123,18 +131,20 @@ def _impls_for(
     return (
         ("levenshtein", _lev_impl_for(cfg, width)),
         ("jaro", _jaro_impl_for(cfg, width, dtype)),
-        ("multiset", _multiset_impl_for(cfg, width)),
+        ("multiset", _multiset_impl_for(cfg, width, dtype)),
         ("osa", _osa_impl_for(cfg, width)),
     )
 
 
-def _block_rows(width: int, cfg: StrsimConfig, measures: Tuple[str, ...]) -> int:
+def _block_rows(
+    width: int, cfg: StrsimConfig, measures: Tuple[str, ...], dtype=None
+) -> int:
     """Max rows per device call. The multiset table kernel materializes
     [B, L, L] compare tables; cap its footprint. Other kernels are [B, L]."""
     need_multiset = any("inter" in STAT_FIELDS[m] for m in measures)
     cap = cfg.max_batch_block
     if need_multiset:
-        ms = _multiset_impl_for(cfg, width)
+        ms = _multiset_impl_for(cfg, width, dtype)
         if ms == "table":
             # [B, L, L] compare tables: keep under ~16M elements. The
             # streaming kernels have [<=16, L, B] peak and need no cap here.
@@ -340,7 +350,7 @@ def compute_scores(
                 ):
                     dtype = np.int8
             bucket_dtypes[w] = dtype
-            blk = min(_block_rows(w, cfg, measures), _round_batch(n_w, cfg))
+            blk = min(_block_rows(w, cfg, measures, dtype), _round_batch(n_w, cfg))
             shapes.append((w, blk, dtype, _chunks_for(n_w, blk)))
         prewarm_shapes(measures, shapes, cfg)
 
@@ -523,7 +533,7 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
             ):
                 dtype = np.int8  # pure-ASCII bucket: 4x less transfer
 
-    block = min(_block_rows(width, cfg, measures), _round_batch(sel.size, cfg))
+    block = min(_block_rows(width, cfg, measures, dtype), _round_batch(sel.size, cfg))
     chunks = _chunks_for(sel.size, block)
     impls = _impls_for(cfg, width, dtype)
     try:
@@ -532,7 +542,7 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
         # compile ERROR (e.g. a flaky terminal-side Mosaic service for the
         # pallas kernels) — distinct from a deadline miss; degrade below
         kernel = None
-    if kernel is None and any(v == "pallas_scan" for _, v in impls):
+    if kernel is None and any(v in ("pallas_scan", "pallas_hist") for _, v in impls):
         # Pallas kernel unavailable: same-contract XLA kernel before giving
         # up on the device (host fallback is exact but far slower)
         xla_equiv = {
@@ -542,7 +552,8 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
             "osa": "myers",
         }
         impls = tuple(
-            (k, xla_equiv[k] if v == "pallas_scan" else v) for k, v in impls
+            (k, xla_equiv[k] if v in ("pallas_scan", "pallas_hist") else v)
+            for k, v in impls
         )
         try:
             kernel = _compiled_kernel(

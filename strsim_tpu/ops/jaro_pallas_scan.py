@@ -72,13 +72,16 @@ DEFAULT_BLOCK_ROWS = 8192
 
 # fully-unrolled program: L*(3L + ~2W4 + ~18W) straight-line vector ops.
 # L = 64 lands ~18K ops — the same ballpark the levenshtein scan compiles
-# comfortably at; wider buckets stay on the XLA bitmask kernel.
+# comfortably at; wider buckets route to the fori_loop wide kernel.
 _MAX_WIDTH = 64
+_MAX_WIDTH_WIDE = 512  # fori_loop wide variant: the whole bucket ladder
 
 
 def supports_width(L: int) -> bool:
-    """True iff the unrolled specialization covers padded width L."""
-    return L <= _MAX_WIDTH
+    """True iff a kernel specialization covers padded width L (unrolled at
+    L <= 64, fori_loop wide variant through 512 — measured +150..223% over
+    the XLA bitmask kernel at w95/127/255/511, tools/ab_jaro_wide.py)."""
+    return L <= _MAX_WIDTH_WIDE
 
 
 def _satmask(k: Array) -> Array:
@@ -168,11 +171,99 @@ def _kernel(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
     t_ref[0] = t
 
 
+def _kernel_wide(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
+    """Wide-bucket variant (64 < L <= 512): identical fused design to
+    _kernel, but the scan over a-positions and the b-side compaction pass
+    are lax.fori_loops with stacked carried state (flag words [W, ...],
+    byte-compacted sequences [W4, ...]), so the compiled body is
+    O(3L + 20W + L/2) ops instead of an L-step unroll. Dynamic trip counts
+    (max over the block of the reference's scan bounds) let short blocks in
+    a wide bucket stop early."""
+    u32, i32 = jnp.uint32, jnp.int32
+    W = -(-L // _WORD)
+    W4 = -(-L // 4)
+    la = la_ref[0]
+    lb = lb_ref[0]
+    shape = la.shape
+    bound = jnp.maximum(la, lb) // 2 - 1
+
+    flag0 = jnp.zeros((W,) + shape, u32)
+    seqa0 = jnp.zeros((W4,) + shape, i32)
+    m0 = jnp.zeros(shape, i32)
+
+    def scan_body(i, state):
+        flag, seq_a, m = state
+        a_i = a_ref[0, i]
+        active = (i < la) & (i < lb + bound)
+        lo = i - bound
+        hi = jnp.minimum(i + bound, lb - 1)
+        found = jnp.zeros(shape, bool)
+        new_flag = []
+        for w in range(W):
+            eq_i = jnp.zeros(shape, i32)
+            for j in range(w * _WORD, min((w + 1) * _WORD, L)):
+                bit = np.int32(np.uint32(1) << np.uint32(j % _WORD))
+                eq_i = eq_i | jnp.where(b_ref[0, j] == a_i, bit, np.int32(0))
+            eqw = lax.bitcast_convert_type(eq_i, u32)
+            win = _satmask(hi + 1 - w * _WORD) & ~_satmask(lo - w * _WORD)
+            cand = eqw & ~flag[w] & win
+            cand = jnp.where(active & ~found, cand, np.uint32(0))
+            lsb = cand & (~cand + np.uint32(1))
+            new_flag.append(flag[w] | lsb)
+            found = found | (cand != 0)
+        flag = jnp.stack(new_flag)
+        val = jnp.where(found, a_i, 0) << ((m & 3) << 3)
+        mw = m >> 2
+        ww4 = lax.broadcasted_iota(i32, (W4,) + shape, 0)
+        seq_a = seq_a | jnp.where(ww4 == mw[None], val[None], 0)
+        m = m + found.astype(i32)
+        return flag, seq_a, m
+
+    i_max = jnp.minimum(jnp.max(jnp.minimum(la, lb + bound)), L)
+    flag, seq_a, m = lax.fori_loop(0, i_max, scan_body, (flag0, seqa0, m0))
+
+    def compact_body(j, state):
+        seq_b, rb = state
+        jw = j // _WORD
+        jb = (j % _WORD).astype(u32)
+        fw = jnp.zeros(shape, u32)
+        for w in range(W):
+            fw = jnp.where(jw == w, flag[w], fw)
+        fbit = ((fw >> jb) & 1) != 0
+        val = jnp.where(fbit, b_ref[0, j], 0) << ((rb & 3) << 3)
+        rw = rb >> 2
+        ww4 = lax.broadcasted_iota(i32, (W4,) + shape, 0)
+        seq_b = seq_b | jnp.where(ww4 == rw[None], val[None], 0)
+        rb = rb + fbit.astype(i32)
+        return seq_b, rb
+
+    j_max = jnp.minimum(jnp.max(lb), L)
+    seq_b, _ = lax.fori_loop(
+        0, j_max, compact_body,
+        (jnp.zeros((W4,) + shape, i32), jnp.zeros(shape, i32)),
+    )
+
+    t = jnp.zeros(shape, i32)
+    for w4 in range(W4):
+        x = seq_a[w4] ^ seq_b[w4]
+        for byte in range(4):
+            t = t + (((x >> (8 * byte)) & 255) != 0).astype(i32)
+    m_ref[0] = m
+    t_ref[0] = t
+
+
 def _block_rows_for(B: int, block_rows: int) -> int:
     br = min(block_rows, B)
     while B % br:
         br //= 2
     return br
+
+
+def _wide_block_rows(L: int) -> int:
+    """Measured winners (tools/ab_jaro_wide.py): 2048 rows at w95, 1024
+    beyond (w511 at 2048 exceeds VMEM: two [L, BR] i32 tiles double-buffered
+    + the [W4, BR] sequence state)."""
+    return 2048 if L <= 96 else 1024
 
 
 def jaro_match_stats_pallas_scan(
@@ -195,7 +286,9 @@ def jaro_match_stats_pallas_scan(
     """
     B, L = a.shape
     if not supports_width(L):
-        raise ValueError(f"jaro pallas_scan requires width <= {_MAX_WIDTH}, got {L}")
+        raise ValueError(
+            f"jaro pallas_scan requires width <= {_MAX_WIDTH_WIDE}, got {L}"
+        )
     if a.dtype.itemsize != 1 or b.dtype.itemsize != 1:
         raise ValueError(
             "jaro pallas_scan byte-packs matched chars: tiles must be an "
@@ -205,6 +298,9 @@ def jaro_match_stats_pallas_scan(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     i32 = jnp.int32
+    wide = L > _MAX_WIDTH
+    if wide:
+        block_rows = min(block_rows, _wide_block_rows(L))
 
     pad_rows = 0
     if B % _SUB:
@@ -237,7 +333,7 @@ def jaro_match_stats_pallas_scan(
     )
 
     m3, t3 = pl.pallas_call(
-        functools.partial(_kernel, L=L),
+        functools.partial(_kernel_wide if wide else _kernel, L=L),
         out_shape=(
             jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
             jax.ShapeDtypeStruct((G, _SUB, BR8), i32),

@@ -30,6 +30,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -73,6 +74,106 @@ def _kernel(a_ref, b_ref, la_ref, out_ref, *, L: int):
         hit = (occ < cnt_b) & (i < la)
         inter = inter + jnp.where(hit, one, zero)
     out_ref[0] = inter
+
+
+def _kernel_hist(cr_ref, a_ref, b_ref, out_ref, *, L: int):
+    """Wide-bucket histogram variant: Σ_c min(cnt_a(c), cnt_b(c)) looped
+    over the block's ACTUAL char range [cmin, cmax] (scalar prefetch,
+    computed in XLA from the tiles) — O(range · L) lane ops instead of the
+    occurrence-rank kernel's O(L²). For int8/ASCII tiles range <= 128, and
+    for typical name data (lowercase letters) ~26, so this wins for every
+    bucket past ~w127 and dominates at 255/383/511. Pads are negative and c
+    ranges over real chars (>= 0) only, so pads self-exclude — no length
+    masks needed (rows with an empty side yield 0, resolved upstream)."""
+    i32 = jnp.int32
+    shape = a_ref.shape[2:]
+    g = pl.program_id(0)
+    c0 = cr_ref[g, 0]
+    c1 = cr_ref[g, 1]
+
+    def body(c, inter):
+        cnt_a = jnp.zeros(shape, i32)
+        cnt_b = jnp.zeros(shape, i32)
+        for i in range(L):
+            cnt_a = cnt_a + (a_ref[0, i] == c).astype(i32)
+            cnt_b = cnt_b + (b_ref[0, i] == c).astype(i32)
+        return inter + jnp.minimum(cnt_a, cnt_b)
+
+    out_ref[0] = lax.fori_loop(c0, c1 + 1, body, jnp.zeros(shape, i32))
+
+
+def multiset_intersection_hist(
+    a: Array,
+    b: Array,
+    len_a: Array,
+    len_b: Array,
+    *,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    interpret: bool | None = None,
+) -> Array:
+    """Σ_c min(cnt_a(c), cnt_b(c)) per row via the per-block dynamic-range
+    histogram kernel — the wide-bucket (L > 63) production path for
+    int8/ASCII tiles. Contract identical to multiset_intersection_pallas."""
+    del len_a, len_b  # pads encode validity on both sides here
+    B, L = a.shape
+    if a.dtype.itemsize != 1 or b.dtype.itemsize != 1:
+        raise ValueError(
+            "hist multiset kernel requires 8-bit tiles (bounded char range); "
+            f"got {a.dtype}/{b.dtype}"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    i32 = jnp.int32
+
+    from strsim_tpu.ops.levenshtein_pallas_scan import _wide_block_rows
+
+    pad_rows = 0
+    if B % _SUB:
+        pad_rows = _SUB - B % _SUB
+        a = jnp.concatenate([a, jnp.full((pad_rows, L), PAD_A, a.dtype)], axis=0)
+        b = jnp.concatenate([b, jnp.full((pad_rows, L), PAD_B, b.dtype)], axis=0)
+        B = B + pad_rows
+
+    BR = _block_rows_for(B, _wide_block_rows(L, block_rows))
+    BR8 = BR // _SUB
+    G = B // BR
+
+    a4 = a.T.astype(i32).reshape(L, G, _SUB, BR8).transpose(1, 0, 2, 3)
+    b4 = b.T.astype(i32).reshape(L, G, _SUB, BR8).transpose(1, 0, 2, 3)
+
+    # per-block real-char range (pads are negative): empty blocks get
+    # cmin > cmax -> zero loop trips
+    big = jnp.int32(1 << 30)
+    real_a = jnp.where(a4 >= 0, a4, big)
+    real_b = jnp.where(b4 >= 0, b4, big)
+    cmin = jnp.minimum(
+        jnp.min(real_a, axis=(1, 2, 3)), jnp.min(real_b, axis=(1, 2, 3))
+    )
+    cmax = jnp.maximum(jnp.max(a4, axis=(1, 2, 3)), jnp.max(b4, axis=(1, 2, 3)))
+    cr = jnp.stack([cmin, cmax], axis=1).astype(i32)  # [G, 2]
+
+    tile = pl.BlockSpec(
+        (1, L, _SUB, BR8), lambda g, cr: (g, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    row = pl.BlockSpec(
+        (1, _SUB, BR8), lambda g, cr: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[tile, tile],
+        out_specs=row,
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_hist, L=L),
+        out_shape=jax.ShapeDtypeStruct((G, _SUB, BR8), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(cr, a4, b4)
+    out = out.reshape(B)
+    if pad_rows:
+        out = out[: B - pad_rows]
+    return out
 
 
 def _block_rows_for(B: int, block_rows: int) -> int:

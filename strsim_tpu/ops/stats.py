@@ -389,6 +389,18 @@ def compute_stats(
                 out["inter"] = multiset_intersection_chunked(a, b, len_a, len_b)
             else:
                 out["inter"] = msp.multiset_intersection_pallas(a, b, len_a, len_b)
+        elif ms_impl == "pallas_hist":
+            from strsim_tpu.ops import multiset_pallas as msp
+
+            if a.dtype.itemsize != 1:
+                # forced selection outside the kernel's contract
+                from strsim_tpu.ops.multiset_loop import (
+                    multiset_intersection_chunked,
+                )
+
+                out["inter"] = multiset_intersection_chunked(a, b, len_a, len_b)
+            else:
+                out["inter"] = msp.multiset_intersection_hist(a, b, len_a, len_b)
         elif ms_impl == "table":
             out["inter"] = multiset_intersection(a, b, len_a, len_b)
         elif ms_impl == "xla":  # streaming 1-position-per-step scan

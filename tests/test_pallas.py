@@ -287,14 +287,51 @@ def test_pallas_jaro_fused_fuzz_matches_bitmask(width):
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
 
 
-def test_pallas_jaro_fused_rejects_wide_and_int32():
+@pytest.mark.parametrize("width", [95, 255])
+def test_pallas_jaro_wide_fuzz_matches_bitmask(width):
+    """fori_loop wide fused jaro (65..512) vs the XLA bitmask kernel —
+    interpretable in CI because the wide body compiles once (no unroll)."""
+    from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+    from strsim_tpu.ops.jaro_pallas_scan import jaro_match_stats_pallas_scan
+
+    ca, cb, la, lb = _byte_tiles(_wide_pairs(width, seed=width * 3), width=width)
+    m1, t1 = jaro_match_stats_pallas_scan(ca, cb, la, lb, interpret=True)
+    m0, t0 = jaro_match_stats_bitmask(ca, cb, la, lb)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+@pytest.mark.parametrize("width", [95, 255, 511])
+def test_pallas_multiset_hist_fuzz_matches_chunked(width):
+    """Dynamic-range histogram multiset kernel (wide int8 buckets) vs the
+    chunked XLA scan."""
+    from strsim_tpu.ops.multiset_loop import multiset_intersection_chunked
+    from strsim_tpu.ops.multiset_pallas import multiset_intersection_hist
+
+    ca, cb, la, lb = _byte_tiles(_wide_pairs(width, seed=width * 5), width=width)
+    got = np.asarray(multiset_intersection_hist(ca, cb, la, lb, interpret=True))
+    want = np.asarray(multiset_intersection_chunked(ca, cb, la, lb))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_multiset_hist_rejects_int32():
+    from strsim_tpu.ops.multiset_pallas import multiset_intersection_hist
+
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=95)
+    with pytest.raises(ValueError):
+        multiset_intersection_hist(
+            ca.astype(jnp.int32), cb.astype(jnp.int32), la, lb, interpret=True
+        )
+
+
+def test_pallas_jaro_fused_rejects_beyond_ladder_and_int32():
     from strsim_tpu.ops.jaro_pallas_scan import (
         jaro_match_stats_pallas_scan,
         supports_width,
     )
 
-    assert supports_width(64) and not supports_width(65)
-    ca, cb, la, lb = _byte_tiles([("abc", "abd")] * 8, width=95)
+    assert supports_width(64) and supports_width(511) and not supports_width(513)
+    ca, cb, la, lb = _byte_tiles([("abc", "abd")] * 8, width=640)
     with pytest.raises(ValueError):
         jaro_match_stats_pallas_scan(ca, cb, la, lb, interpret=True)
     ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=8)
