@@ -46,6 +46,7 @@ from strsim_tpu.api import (
     lcs_seq,
     indel,
     osa,
+    soundex,
     compute,
     compute_many,
     compute_with_validity,
@@ -79,6 +80,7 @@ __all__ = [
     "lcs_seq",
     "indel",
     "osa",
+    "soundex",
     "compute",
     "compute_many",
     "compute_with_validity",

@@ -125,3 +125,4 @@ hamming = _measure_fn("hamming")
 lcs_seq = _measure_fn("lcs_seq")
 indel = _measure_fn("indel")
 osa = _measure_fn("osa")
+soundex = _measure_fn("soundex")

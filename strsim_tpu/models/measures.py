@@ -46,6 +46,9 @@ MEASURES: Dict[str, Measure] = {
         # extension: OSA / restricted Damerau-Levenshtein (bit-parallel
         # Hyyrö kernel, ops/osa_myers.py)
         "osa",
+        # extension: American Soundex phonetic equality (ops/phonetic.py) —
+        # also the key generator behind models/blocking.py
+        "soundex",
     )
 }
 

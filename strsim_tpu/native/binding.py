@@ -23,6 +23,7 @@ MEASURE_IDS = {
     "lcs_seq": 10,
     "indel": 11,
     "osa": 12,
+    "soundex": 13,
 }
 
 

@@ -696,6 +696,51 @@ double dice_bigram_sim(const int32_t* a, int64_t la, const int32_t* b,
   return 2.0 * static_cast<double>(inter) / static_cast<double>(na + nb);
 }
 
+// American Soundex with the H/W rule — mirrors ops/phonetic.py's spec and
+// the Python oracle (ops/oracle.py:soundex_code) exactly. Returns the packed
+// int32 code: first_letter*1000 + d1*100 + d2*10 + d3; 0 = no letters.
+int32_t soundex_code(const int32_t* a, int64_t la) {
+  // digit class per letter A..Z
+  static const int32_t kDigits[26] = {0, 1, 2, 3, 0, 1, 2, 0, 0, 2, 2, 4, 5,
+                                      5, 0, 1, 2, 6, 2, 3, 0, 1, 0, 2, 0, 2};
+  int32_t first = 0, prev = 0, count = 0, code = 0;
+  for (int64_t i = 0; i < la; ++i) {
+    int32_t c = a[i];
+    int32_t u;
+    if (c >= 65 && c <= 90) {
+      u = c;
+    } else if (c >= 97 && c <= 122) {
+      u = c - 32;
+    } else {
+      continue;  // non-letters are skipped with no effect on state
+    }
+    int32_t d = kDigits[u - 65];
+    if (first == 0) {
+      first = u;
+      prev = d;
+      continue;
+    }
+    if (d != 0 && d != prev && count < 3) {
+      code = code * 10 + d;
+      ++count;
+    }
+    if (u != 'H' && u != 'W') prev = d;  // H/W transparent to "previous"
+  }
+  if (first == 0) return 0;
+  while (count < 3) {
+    code *= 10;
+    ++count;
+  }
+  return first * 1000 + code;
+}
+
+double soundex_sim(const int32_t* a, int64_t la, const int32_t* b, int64_t lb,
+                   Scratch&) {
+  if ((la == 0 && lb == 0) || rows_equal(a, la, b, lb)) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  return soundex_code(a, la) == soundex_code(b, lb) ? 1.0 : 0.0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -732,6 +777,7 @@ void compute_range(int32_t measure, const int32_t* codes_a,
       case 10: out[r] = lcs_seq_sim(a, la, b, lb, s); break;
       case 11: out[r] = indel_sim(a, la, b, lb, s); break;
       case 12: out[r] = osa_sim(a, la, b, lb, s); break;
+      case 13: out[r] = soundex_sim(a, la, b, lb, s); break;
       default: out[r] = -1.0;
     }
   }
@@ -741,7 +787,7 @@ void compute_range(int32_t measure, const int32_t* codes_a,
 
 // measure: 0=levenshtein 1=jaro 2=jaro_winkler 3=jaccard 4=sorensen_dice
 //          5=jaccard_bigram 6=sorensen_dice_bigram 7=cosine 8=overlap
-//          9=hamming 10=lcs_seq 11=indel 12=osa (extensions)
+//          9=hamming 10=lcs_seq 11=indel 12=osa 13=soundex (extensions)
 // Ragged layout: codes_* concatenated codepoints, off_*: n+1 offsets.
 // validity: optional; null rows produce NaN. Single-threaded by design —
 // this is the per-core baseline the TPU engine is measured against.

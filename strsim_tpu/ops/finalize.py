@@ -182,6 +182,16 @@ def finalize_osa(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -
     return np.where(both_empty, 1.0, sim)
 
 
+def finalize_soundex(stats: Dict[str, np.ndarray], la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """EXTENSION: soundex phonetic equality — the device stat is already the
+    0/1 code-equality answer; only the engine-wide empty guards apply."""
+    both_empty = (la == 0) & (lb == 0)
+    any_empty = (la == 0) | (lb == 0)
+    sim = _as_f64(stats["sdx_eq"])
+    sim = np.where(any_empty, 0.0, sim)
+    return np.where(both_empty, 1.0, sim)
+
+
 FINALIZERS = {
     "levenshtein": finalize_levenshtein,
     "jaro": finalize_jaro,
@@ -196,6 +206,7 @@ FINALIZERS = {
     "lcs_seq": finalize_lcs_seq,
     "indel": finalize_indel,
     "osa": finalize_osa,
+    "soundex": finalize_soundex,
 }
 
 

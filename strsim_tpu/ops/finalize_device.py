@@ -133,6 +133,13 @@ def osa_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
     return jnp.where(both, 1.0, sim)
 
 
+def soundex_device(stats: Dict[str, Array], la: Array, lb: Array) -> Array:
+    both, any_ = _empties(la, lb)
+    sim = stats["sdx_eq"].astype(jnp.float32)
+    sim = jnp.where(any_, 0.0, sim)
+    return jnp.where(both, 1.0, sim)
+
+
 DEVICE_FINALIZERS = {
     "levenshtein": levenshtein_device,
     "jaro": jaro_device,
@@ -149,6 +156,7 @@ DEVICE_FINALIZERS = {
     "lcs_seq": lcs_seq_device,
     "indel": indel_device,
     "osa": osa_device,
+    "soundex": soundex_device,
 }
 
 

@@ -281,6 +281,51 @@ def osa(a: str, b: str) -> float:
     return 1.0 - (osa_distance(a, b) / max(la, lb))
 
 
+# digit class per letter A..Z (see ops/phonetic.py for the full spec)
+_SOUNDEX_DIGITS = "01230120022455012623010202"
+
+
+def soundex_code(s: str) -> str:
+    """American Soundex code with the H/W rule (spec: ops/phonetic.py).
+
+    Letters outside [A-Za-z] are skipped; a string with no letters codes to
+    the empty string. "Robert" → "R163", "Lee" → "L000"."""
+    first = ""
+    prev = 0
+    digits: list = []
+    for ch in s:
+        c = ord(ch)
+        if 65 <= c <= 90:
+            u = c
+        elif 97 <= c <= 122:
+            u = c - 32
+        else:
+            continue
+        d = int(_SOUNDEX_DIGITS[u - 65])
+        if not first:
+            first = chr(u)
+            prev = d
+            continue
+        if d != 0 and d != prev and len(digits) < 3:
+            digits.append(d)
+        if u != 72 and u != 87:  # H and W are transparent to "previous"
+            prev = d
+    if not first:
+        return ""
+    return first + "".join(str(d) for d in digits) + "0" * (3 - len(digits))
+
+
+def soundex(a: str, b: str) -> float:
+    """EXTENSION: soundex phonetic equality — 1.0 iff the codes match
+    (two letterless strings share the empty code); one side empty → 0.0,
+    both empty → 1.0, matching the engine-wide empty conventions."""
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return 1.0 if soundex_code(a) == soundex_code(b) else 0.0
+
+
 ORACLES = {
     "levenshtein": levenshtein,
     "jaro": jaro,
@@ -295,4 +340,5 @@ ORACLES = {
     "lcs_seq": lcs_seq,
     "indel": indel,
     "osa": osa,
+    "soundex": soundex,
 }

@@ -289,6 +289,8 @@ STAT_FIELDS = {
     "lcs_seq": ("lcs_len",),
     "indel": ("lcs_len",),
     "osa": ("osa_d",),
+    # extension: soundex phonetic-code equality (ops/phonetic.py)
+    "soundex": ("sdx_eq",),
 }
 
 
@@ -440,6 +442,10 @@ def compute_stats(
             from strsim_tpu.ops.osa_myers import osa_distance_myers
 
             out["osa_d"] = osa_distance_myers(a, b, len_a, len_b)
+    if "sdx_eq" in need:
+        from strsim_tpu.ops.phonetic import soundex_equal
+
+        out["sdx_eq"] = soundex_equal(a, b, len_a, len_b)
     if "eq" in need:
         out["eq"] = row_equal(a, b, len_a, len_b)
     return out

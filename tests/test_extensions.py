@@ -10,7 +10,7 @@ import pytest
 import strsim_tpu as st
 from strsim_tpu.ops.oracle import ORACLES
 
-EXT_MEASURES = ("cosine", "overlap", "hamming", "lcs_seq", "indel", "osa")
+EXT_MEASURES = ("cosine", "overlap", "hamming", "lcs_seq", "indel", "osa", "soundex")
 
 
 def _corpus(n=400):

@@ -1,0 +1,90 @@
+"""Soundex phonetic encoder (EXTENSION — ops/phonetic.py spec): published
+American-Soundex vectors incl. the H/W rule, the packed-code device kernel vs
+the Python oracle on both int8 (ASCII) and int32 (unicode) tiles, and the
+`soundex` measure through the full pipeline."""
+import random
+
+import numpy as np
+import pytest
+
+import strsim_tpu as st
+from strsim_tpu.ops.oracle import soundex_code
+
+# the National-Archives/census examples (incl. the H/W-rule cases) plus
+# engine-spec edges: case folding, non-letters skipped, letterless strings
+GOLDEN = {
+    "Robert": "R163",
+    "Rupert": "R163",
+    "Ashcraft": "A261",   # H transparent: S then C same class -> skipped
+    "Ashcroft": "A261",
+    "Tymczak": "T522",    # Y resets; C,Z same class -> Z skipped
+    "Pfister": "P236",    # first letter's class seeds "previous": F skipped
+    "Honeyman": "H555",
+    "Jackson": "J250",
+    "Washington": "W252",
+    "Lee": "L000",
+    "Gutierrez": "G362",
+    "VanDeusen": "V532",
+    "lee": "L000",
+    "O'Brien": "O165",
+    "de la Cruz": "D426",
+    "": "",
+    "123": "",
+    "Çelik": "E420",      # non-ASCII letters are skipped (pre-fold explicitly)
+    "Hw": "H000",
+    "Wh": "W000",
+    "a1b2c3": "A120",
+}
+
+
+def test_golden_codes():
+    for s, want in GOLDEN.items():
+        assert soundex_code(s) == want, (s, soundex_code(s), want)
+
+
+def _packed(code: str) -> int:
+    return 0 if not code else ord(code[0]) * 1000 + int(code[1:])
+
+
+@pytest.mark.parametrize("alphabet", ["ascii", "unicode"])
+def test_device_kernel_matches_oracle(alphabet):
+    from strsim_tpu.ops.phonetic import soundex_code as dev_code
+    from strsim_tpu.utils.encode import PAD_A, encode_column
+
+    rng = random.Random(11)
+    chars = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ '-123"
+        if alphabet == "ascii"
+        else "abchwyzé日𝄞 HW"
+    )
+    names = [s for s in GOLDEN if alphabet == "unicode" or s.isascii()] + [
+        "".join(rng.choice(chars) for _ in range(rng.randrange(0, 70)))
+        for _ in range(500)
+    ]
+    col = encode_column(names, pad=PAD_A)
+    if alphabet == "ascii":
+        assert col.codes.dtype == np.int8  # native ASCII fast path exercised
+    codes = np.asarray(dev_code(col.codes, col.lengths))
+    want = np.array([_packed(soundex_code(s)) for s in names])
+    bad = np.nonzero(codes != want)[0]
+    assert bad.size == 0, [(names[i], codes[i], want[i]) for i in bad[:3]]
+
+
+def test_measure_through_pipeline():
+    a = ["Robert", "smith", "Washington", None, "", "abc", "123", "Çelik", "x"]
+    b = ["Rupert", "smyth", "Washinton", "x", "", "xyz", "456", "elik", ""]
+    got = st.compute("soundex", a, b)
+    # Robert/Rupert same code; smith/smyth same; Washington/Washinton differ
+    # (W252 vs W253); null -> NaN; both-empty -> 1.0; letterless pair shares
+    # the empty code -> 1.0; one-empty -> 0.0
+    want = np.array([1.0, 1.0, 0.0, np.nan, 1.0, 0.0, 1.0, 1.0, 0.0])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_with_core_measures():
+    """soundex shares a kernel launch with the core five (stat-union fusion)."""
+    a = ["Robert", "catherine", ""]
+    b = ["Rupert", "katherine", ""]
+    scores = st.compute_many(("soundex", "jaro_winkler", "levenshtein"), a, b)
+    assert scores["soundex"][0] == 1.0 and scores["soundex"][1] == 0.0
+    assert scores["levenshtein"][2] == 1.0
