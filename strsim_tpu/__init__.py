@@ -62,6 +62,15 @@ from strsim_tpu.models.linkage import (
     top_k_matches,
     top_k_matches_multi,
 )
+from strsim_tpu.utils.preprocess import preprocess_column
+from strsim_tpu.models.blocking import (
+    blocked_pairs,
+    dedup_blocked,
+    dedup_sorted_neighborhood,
+    soundex_keys,
+    top_k_matches_blocked,
+    unpack_soundex,
+)
 from strsim_tpu.models.measures import MEASURES
 
 __version__ = "0.1.0"
@@ -96,4 +105,11 @@ __all__ = [
     "top_k_matches_multi",
     "dedup_top_k",
     "ensemble_scores",
+    "blocked_pairs",
+    "dedup_blocked",
+    "dedup_sorted_neighborhood",
+    "soundex_keys",
+    "top_k_matches_blocked",
+    "unpack_soundex",
+    "preprocess_column",
 ]

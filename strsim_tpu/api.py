@@ -65,28 +65,54 @@ def _as_column(x):
     return x
 
 
+def _maybe_preprocess(col, steps):
+    if steps is None:
+        return col
+    from strsim_tpu.utils.preprocess import preprocess_column
+
+    return preprocess_column(col, steps)
+
+
 def compute_with_validity(
-    measure: str, a, b, config: Optional[StrsimConfig] = None
+    measure: str, a, b, config: Optional[StrsimConfig] = None, preprocess=None
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(values f64, validity bool) for one measure over two columns."""
+    """(values f64, validity bool) for one measure over two columns.
+
+    `preprocess`: optional normalization steps applied to BOTH columns before
+    encoding (utils/preprocess.py) — e.g. ("casefold", "strip_accents",
+    "token_sort") for order-insensitive accent-folded matching."""
     (m,) = resolve_measures(measure)
-    res = compute_scores(_as_column(a), _as_column(b), (m,), config=config)
+    res = compute_scores(
+        _maybe_preprocess(_as_column(a), preprocess),
+        _maybe_preprocess(_as_column(b), preprocess),
+        (m,),
+        config=config,
+    )
     return res[m]
 
 
-def compute(measure: str, a, b, config: Optional[StrsimConfig] = None) -> np.ndarray:
-    """Scores for one measure; NaN marks null rows."""
-    values, _ = compute_with_validity(measure, a, b, config)
+def compute(
+    measure: str, a, b, config: Optional[StrsimConfig] = None, preprocess=None
+) -> np.ndarray:
+    """Scores for one measure; NaN marks null rows. See compute_with_validity
+    for `preprocess`."""
+    values, _ = compute_with_validity(measure, a, b, config, preprocess)
     return values
 
 
 def compute_many(
-    measures: Sequence[str], a, b, config: Optional[StrsimConfig] = None
+    measures: Sequence[str], a, b, config: Optional[StrsimConfig] = None,
+    preprocess=None,
 ) -> Dict[str, np.ndarray]:
     """Scores for several measures in one fused device pass (shared stats,
     shared encode) — the fused-measure mode of BASELINE.json config 4."""
     measures = resolve_measures(measures)
-    res = compute_scores(_as_column(a), _as_column(b), measures, config=config)
+    res = compute_scores(
+        _maybe_preprocess(_as_column(a), preprocess),
+        _maybe_preprocess(_as_column(b), preprocess),
+        measures,
+        config=config,
+    )
     return {m: v for m, (v, _) in res.items()}
 
 

@@ -1,0 +1,496 @@
+"""Blocking (candidate generation) for record linkage at scale.
+
+EXTENSION — the reference scores rows it is given (a Polars expression is
+already a materialized pair list); production entity resolution needs the
+step BEFORE scoring: cut the Q×C cross product down to candidate pairs worth
+scoring. This module provides the two standard blocking strategies —
+phonetic/equality key blocking and sorted-neighborhood windows — wired
+directly into this engine's batch pipeline, so the surviving pairs are scored
+by the production device kernels with EXACT host-f64 finalization (unlike
+models/linkage.py's brute-force f32 serving path, the scores returned here
+are bit-identical to `compute`).
+
+Design: encode each column ONCE, generate (query_index, candidate_index)
+pairs from key groups with pure numpy, then score pair chunks by GATHERING
+encoded tiles (fancy indexing — no re-encode) through
+models/pipeline.compute_scores. Per-query top-k is one lexsort per chunk
+merge. Everything is deterministic: ties break by ascending candidate index.
+
+Key functions are pluggable; built-ins:
+  "soundex"  — American Soundex (ops/phonetic.py spec), numpy-vectorized
+               host implementation differentially tested vs the oracle
+  "prefix"   — first cfg-independent 2 codepoints, case-folded (ASCII)
+  callable   — any fn(list[str|None]) -> np.ndarray of hashable keys
+
+Oversized blocks (a very common key — e.g. soundex S530 over US surnames)
+are governed by `oversize`: "keep" scores them all, "skip" drops the block
+with a warning (standard ER practice: re-block such keys with a finer key),
+"error" raises.
+"""
+from __future__ import annotations
+
+import warnings
+from typing import Callable, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from strsim_tpu.config import StrsimConfig, get_config
+from strsim_tpu.models.measures import resolve_measures
+from strsim_tpu.models.pipeline import compute_scores
+from strsim_tpu.utils import encode as enc
+
+__all__ = [
+    "soundex_keys",
+    "unpack_soundex",
+    "blocked_pairs",
+    "top_k_matches_blocked",
+    "dedup_blocked",
+    "dedup_sorted_neighborhood",
+]
+
+# digit class per letter A..Z — same table as ops/phonetic.py
+_SOUNDEX_DIGITS = np.array(
+    [0, 1, 2, 3, 0, 1, 2, 0, 0, 2, 2, 4, 5, 5, 0, 1, 2, 6, 2, 3, 0, 1, 0, 2, 0, 2],
+    dtype=np.int32,
+)
+
+
+def _soundex_keys_encoded(col: enc.EncodedColumn) -> np.ndarray:
+    """Packed soundex codes for an encoded column: [N] int32, -1 at null
+    rows, 0 for letterless strings. Numpy-vectorized state machine over
+    string positions — the host mirror of ops/phonetic.py:soundex_code
+    (differentially tested against the oracle and the device kernel)."""
+    n = col.n
+    codes = col.codes
+    first = np.zeros(n, dtype=np.int32)
+    prev = np.zeros(n, dtype=np.int32)
+    count = np.zeros(n, dtype=np.int32)
+    code = np.zeros(n, dtype=np.int32)
+    pow10 = np.array([100, 10, 1, 0], dtype=np.int32)
+    l_max = int(col.lengths.max()) if n else 0
+    for i in range(min(l_max, col.width)):
+        c = codes[:, i].astype(np.int32)
+        is_up = (c >= 65) & (c <= 90)
+        is_lo = (c >= 97) & (c <= 122)
+        u = np.where(is_lo, c - 32, c)
+        is_letter = is_up | is_lo
+        d = np.where(is_letter, _SOUNDEX_DIGITS[np.clip(u - 65, 0, 25)], 0)
+        is_hw = (u == 72) | (u == 87)
+        no_first = first == 0
+        emit = is_letter & ~no_first & (d != 0) & (d != prev) & (count < 3)
+        code = np.where(emit, code + d * pow10[np.clip(count, 0, 3)], code)
+        count = np.where(emit, count + 1, count)
+        first = np.where(is_letter & no_first, u, first)
+        prev = np.where(is_letter, np.where(no_first, d, np.where(is_hw, prev, d)), prev)
+    out = np.where(first == 0, 0, first * 1000 + code).astype(np.int32)
+    out[~col.validity] = -1
+    return out
+
+
+def soundex_keys(col) -> np.ndarray:
+    """Packed int32 soundex codes for a string column (list / array /
+    EncodedColumn): `ord(first_letter)*1000 + d1*100 + d2*10 + d3`; 0 for
+    letterless strings, -1 for nulls. See unpack_soundex for display."""
+    if not isinstance(col, enc.EncodedColumn):
+        col = enc.encode_column(col, pad=enc.PAD_A)
+    return _soundex_keys_encoded(col)
+
+
+def unpack_soundex(packed: Union[int, np.ndarray]):
+    """Packed int32 code(s) → display string(s): 82163 → "R163", 0 → "",
+    -1 (null) → None."""
+    def one(p: int):
+        p = int(p)
+        if p < 0:
+            return None
+        if p == 0:
+            return ""
+        return chr(p // 1000) + f"{p % 1000:03d}"
+
+    if np.isscalar(packed) or isinstance(packed, (int, np.integer)):
+        return one(packed)
+    return [one(p) for p in np.asarray(packed).ravel()]
+
+
+def _prefix_keys(col: enc.EncodedColumn, n_chars: int = 2) -> np.ndarray:
+    """Case-folded (ASCII) first-n-codepoint keys packed into int64; -1 at
+    null rows. Strings shorter than n_chars key on what they have."""
+    k = min(n_chars, col.width) if col.width else 0
+    out = np.zeros(col.n, dtype=np.int64)
+    for i in range(k):
+        c = col.codes[:, i].astype(np.int64)
+        c = np.where(c < 0, 0, c)  # pad → 0 slot
+        c = np.where((c >= 65) & (c <= 90), c + 32, c)  # ASCII fold
+        out = out * (1 << 21) + c  # codepoints < 2^21
+    out[~col.validity] = -1
+    return out
+
+
+def _keys_for(col: enc.EncodedColumn, raw, key) -> np.ndarray:
+    if callable(key):
+        keys = np.asarray(key(raw))
+        if keys.shape[0] != col.n:
+            raise ValueError(
+                f"key function returned {keys.shape[0]} keys for {col.n} rows"
+            )
+        keys = keys.copy()
+        # nulls never block
+        if keys.dtype.kind in "iu":
+            keys[~col.validity] = -1
+            return keys
+        keys_obj = keys.astype(object)
+        keys_obj[~col.validity] = None
+        return keys_obj
+    if key == "soundex":
+        return _soundex_keys_encoded(col)
+    if key == "prefix":
+        return _prefix_keys(col)
+    raise ValueError(f"unknown blocking key {key!r}; use 'soundex', 'prefix', or a callable")
+
+
+def _valid_key_mask(keys: np.ndarray) -> np.ndarray:
+    if keys.dtype.kind in "iu":
+        return keys >= 0
+    return np.array([k is not None for k in keys], dtype=bool)
+
+
+def _concat_fast(parts) -> np.ndarray:
+    """np.concatenate into a pre-faulted buffer: plain concatenate's fresh
+    allocation is page-fault-bound in this environment (measured 16.6 s vs
+    0.3 s at 450 MB — utils/alloc.py)."""
+    from strsim_tpu.utils.alloc import fast_empty
+
+    total = sum(p.size for p in parts)
+    out = fast_empty((total,), parts[0].dtype if parts else np.int64)
+    off = 0
+    for p in parts:
+        out[off : off + p.size] = p
+        off += p.size
+    return out
+
+
+def iter_blocked_pairs(
+    query_keys: np.ndarray,
+    cand_keys: np.ndarray,
+    *,
+    exclude_self: bool = False,
+    ordered_only: bool = False,
+    max_block_candidates: Optional[int] = None,
+    oversize: str = "keep",
+    chunk_pairs: int = 2_000_000,
+):
+    """Yield (qi, ci) chunks of ≤ ~chunk_pairs candidate pairs from key
+    equality: all pairs with query_keys[qi] == cand_keys[ci]; keys < 0 / None
+    never block.
+
+    exclude_self drops qi == ci (self-join dedup); ordered_only keeps only
+    ci < qi (emit each unordered pair once). max_block_candidates + oversize
+    govern blocks whose candidate side exceeds the limit ("keep"/"skip"/
+    "error").
+
+    Chunked BY DESIGN: a 1M-row self-join easily produces 10⁸-10⁹ pairs, and
+    materializing index arrays at that scale is allocator-bound in this
+    environment (fresh multi-GB numpy temporaries fault at ~0.2-1 GB/s, see
+    utils/alloc.py) — per-group numpy ops into small reused buffers measured
+    ~20× faster end-to-end than the fully-vectorized segmented-cartesian
+    formulation. Pair order is deterministic: blocks in key-sort order,
+    query-major within a block, original index order within each side.
+    Oversized groups are split by query rows, so one huge block still streams
+    in bounded chunks."""
+    if oversize not in ("keep", "skip", "error"):
+        raise ValueError("oversize must be 'keep', 'skip', or 'error'")
+    qm = _valid_key_mask(query_keys)
+    cm = _valid_key_mask(cand_keys)
+    q_idx = np.nonzero(qm)[0]
+    c_idx = np.nonzero(cm)[0]
+    if q_idx.size == 0 or c_idx.size == 0:
+        return
+    qk = query_keys[q_idx]
+    ck = cand_keys[c_idx]
+    # group both sides by key (np.unique sorts, so shared keys align)
+    q_order = np.argsort(qk, kind="stable")
+    c_order = np.argsort(ck, kind="stable")
+    uq, q_start, q_cnt = np.unique(qk[q_order], return_index=True, return_counts=True)
+    uc, c_start, c_cnt = np.unique(ck[c_order], return_index=True, return_counts=True)
+    shared, qpos, cpos = np.intersect1d(uq, uc, return_indices=True)
+    if shared.size == 0:
+        return
+
+    n_skipped = 0
+    buf_q, buf_c, buffered = [], [], 0
+    for g in range(shared.size):
+        csz = int(c_cnt[cpos[g]])
+        if max_block_candidates is not None and csz > max_block_candidates:
+            if oversize == "error":
+                raise ValueError(
+                    f"block {shared[g]!r} has {csz} candidates "
+                    f"(max_block_candidates={max_block_candidates})"
+                )
+            if oversize == "skip":
+                n_skipped += 1
+                continue
+        qs = q_idx[q_order[q_start[qpos[g]] : q_start[qpos[g]] + q_cnt[qpos[g]]]]
+        cs = c_idx[c_order[c_start[cpos[g]] : c_start[cpos[g]] + csz]]
+        rows_per = max(1, chunk_pairs // max(csz, 1))
+        for lo in range(0, qs.size, rows_per):
+            qpart = qs[lo : lo + rows_per]
+            qq = np.repeat(qpart, csz)
+            cx = np.tile(cs, qpart.size)
+            if exclude_self or ordered_only:
+                keep = (cx < qq) if ordered_only else (cx != qq)
+                qq, cx = qq[keep], cx[keep]
+            if qq.size:
+                buf_q.append(qq)
+                buf_c.append(cx)
+                buffered += qq.size
+            if buffered >= chunk_pairs:
+                yield (
+                    np.concatenate(buf_q).astype(np.int64),
+                    np.concatenate(buf_c).astype(np.int64),
+                )
+                buf_q, buf_c, buffered = [], [], 0
+    if n_skipped:
+        warnings.warn(
+            f"blocking: skipped {n_skipped} oversized block(s) "
+            f"(> {max_block_candidates} candidates); re-block such keys "
+            "with a finer key",
+            RuntimeWarning,
+        )
+    if buffered:
+        yield (
+            np.concatenate(buf_q).astype(np.int64),
+            np.concatenate(buf_c).astype(np.int64),
+        )
+
+
+def blocked_pairs(
+    query_keys: np.ndarray,
+    cand_keys: np.ndarray,
+    *,
+    exclude_self: bool = False,
+    ordered_only: bool = False,
+    max_block_candidates: Optional[int] = None,
+    oversize: str = "keep",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Materialized form of iter_blocked_pairs (same semantics and order) —
+    convenient for tests and moderate pair counts; the scoring entry points
+    stream the iterator instead and never hold the full pair list."""
+    chunks = list(
+        iter_blocked_pairs(
+            query_keys,
+            cand_keys,
+            exclude_self=exclude_self,
+            ordered_only=ordered_only,
+            max_block_candidates=max_block_candidates,
+            oversize=oversize,
+        )
+    )
+    z = np.zeros(0, dtype=np.int64)
+    if not chunks:
+        return z, z
+    return _concat_fast([q for q, _ in chunks]), _concat_fast([c for _, c in chunks])
+
+
+def _gather(col: enc.EncodedColumn, idx: np.ndarray) -> enc.EncodedColumn:
+    return enc.EncodedColumn(
+        codes=col.codes[idx],
+        lengths=col.lengths[idx],
+        validity=col.validity[idx],
+    )
+
+
+def _score_pairs(
+    q: enc.EncodedColumn,
+    c: enc.EncodedColumn,
+    qi: np.ndarray,
+    ci: np.ndarray,
+    measure: str,
+    cfg: StrsimConfig,
+    pair_chunk: int,
+) -> np.ndarray:
+    """Exact f64 scores for (qi, ci) pairs by gathering pre-encoded tiles
+    through the batch pipeline, pair_chunk rows per slice."""
+    scores = np.empty(qi.size, dtype=np.float64)
+    for lo in range(0, qi.size, pair_chunk):
+        hi = min(lo + pair_chunk, qi.size)
+        res = compute_scores(
+            _gather(q, qi[lo:hi]), _gather(c, ci[lo:hi]), (measure,), config=cfg
+        )
+        scores[lo:hi] = res[measure][0]
+    return scores
+
+
+def _segment_topk(
+    qi: np.ndarray, ci: np.ndarray, scores: np.ndarray, n_queries: int, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """[Q, k] (indices, scores) from flat per-pair scores: per query take the
+    k best, ties broken by ascending candidate index; missing slots -1/NaN."""
+    idx_out = np.full((n_queries, k), -1, dtype=np.int64)
+    sco_out = np.full((n_queries, k), np.nan, dtype=np.float64)
+    if qi.size == 0 or k <= 0:
+        return idx_out, sco_out
+    finite = np.isfinite(scores)  # null candidates score NaN → drop
+    qi, ci, scores = qi[finite], ci[finite], scores[finite]
+    if qi.size == 0:
+        return idx_out, sco_out
+    order = np.lexsort((ci, -scores, qi))  # qi primary, score desc, ci asc
+    sq = qi[order]
+    seg_start = np.zeros(sq.size, dtype=np.int64)
+    new_seg = np.nonzero(np.diff(sq))[0] + 1
+    seg_start[new_seg] = new_seg
+    np.maximum.accumulate(seg_start, out=seg_start)
+    rank = np.arange(sq.size, dtype=np.int64) - seg_start
+    keep = rank < k
+    idx_out[sq[keep], rank[keep]] = ci[order][keep]
+    sco_out[sq[keep], rank[keep]] = scores[order][keep]
+    return idx_out, sco_out
+
+
+def top_k_matches_blocked(
+    queries,
+    candidates,
+    measure: str = "jaro_winkler",
+    k: int = 5,
+    *,
+    key: Union[str, Callable] = "soundex",
+    config: Optional[StrsimConfig] = None,
+    pair_chunk: int = 2_000_000,
+    max_block_candidates: Optional[int] = None,
+    oversize: str = "keep",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Blocked top-k matching: like models/linkage.top_k_matches, but only
+    candidates sharing the query's blocking key are scored — the Q×C cross
+    product shrinks to the blocked pair count (typically 100-1000× fewer),
+    which is what makes 1M×1M linkage tractable.
+
+    Returns (indices [Q, k] int64, scores [Q, k] f64 — EXACT host-f64
+    finalization, bit-identical to `compute` on the same pairs). Queries with
+    no same-key candidate (or null queries) get -1 / NaN rows. Deterministic:
+    score ties break by ascending candidate index."""
+    (measure,) = resolve_measures(measure)
+    cfg = config or get_config()
+    q = enc.encode_column(queries, pad=enc.PAD_A)
+    c = enc.encode_column(candidates, pad=enc.PAD_B)
+    qk = _keys_for(q, queries, key)
+    ck = _keys_for(c, candidates, key)
+    # stream pair chunks: score each, keep only its per-query top-k triples,
+    # then merge — the full pair list is never materialized
+    part_q, part_c, part_s = [], [], []
+    for qi, ci in iter_blocked_pairs(
+        qk,
+        ck,
+        max_block_candidates=max_block_candidates,
+        oversize=oversize,
+        chunk_pairs=pair_chunk,
+    ):
+        scores = _score_pairs(q, c, qi, ci, measure, cfg, pair_chunk)
+        ti, ts = _segment_topk(qi, ci, scores, q.n, k)
+        m = ti >= 0
+        rr, _ = np.nonzero(m)
+        part_q.append(rr.astype(np.int64))
+        part_c.append(ti[m])
+        part_s.append(ts[m])
+    if not part_q:
+        return (
+            np.full((q.n, max(k, 0)), -1, dtype=np.int64),
+            np.full((q.n, max(k, 0)), np.nan, dtype=np.float64),
+        )
+    return _segment_topk(
+        np.concatenate(part_q),
+        np.concatenate(part_c),
+        np.concatenate(part_s),
+        q.n,
+        k,
+    )
+
+
+def dedup_blocked(
+    names,
+    measure: str = "jaro_winkler",
+    threshold: float = 0.9,
+    *,
+    key: Union[str, Callable] = "soundex",
+    config: Optional[StrsimConfig] = None,
+    pair_chunk: int = 2_000_000,
+    max_block_candidates: Optional[int] = None,
+    oversize: str = "keep",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Blocked self-join dedup: score every unordered same-key pair once and
+    return (i, j, scores) for pairs with score >= threshold, sorted by score
+    descending (ties: ascending i, then j). i > j by construction; exact-f64
+    scores; null rows never pair."""
+    (measure,) = resolve_measures(measure)
+    cfg = config or get_config()
+    a = enc.encode_column(names, pad=enc.PAD_A)
+    b = enc.encode_column(names, pad=enc.PAD_B)
+    keys = _keys_for(a, names, key)
+    # stream pair chunks; only pairs clearing the threshold are retained
+    out_i, out_j, out_s = [], [], []
+    for qi, ci in iter_blocked_pairs(
+        keys,
+        keys,
+        ordered_only=True,
+        max_block_candidates=max_block_candidates,
+        oversize=oversize,
+        chunk_pairs=pair_chunk,
+    ):
+        scores = _score_pairs(a, b, qi, ci, measure, cfg, pair_chunk)
+        hit = np.isfinite(scores) & (scores >= threshold)
+        out_i.append(qi[hit])
+        out_j.append(ci[hit])
+        out_s.append(scores[hit])
+    if not out_i:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    qi = _concat_fast(out_i)
+    ci = _concat_fast(out_j)
+    scores = _concat_fast(out_s)
+    order = np.lexsort((ci, qi, -scores))
+    return qi[order], ci[order], scores[order]
+
+
+def dedup_sorted_neighborhood(
+    names,
+    measure: str = "jaro_winkler",
+    threshold: float = 0.9,
+    *,
+    window: int = 10,
+    sort_key: Optional[Callable] = None,
+    config: Optional[StrsimConfig] = None,
+    pair_chunk: int = 2_000_000,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sorted-neighborhood dedup: sort rows (lexicographically, or by
+    sort_key(str) -> sortable), score each row against its `window` successors
+    — exactly N·window pairs, a rectangle the device pipeline eats at full
+    throughput regardless of key skew. Returns (i, j, scores) like
+    dedup_blocked (i > j, score >= threshold, exact f64). Complements key
+    blocking: catches near-duplicates whose blocking keys differ (e.g. a typo
+    in the first letter breaks soundex, not sort order — and vice versa)."""
+    (measure,) = resolve_measures(measure)
+    cfg = config or get_config()
+    a = enc.encode_column(names, pad=enc.PAD_A)
+    b = enc.encode_column(names, pad=enc.PAD_B)
+    valid = np.nonzero(a.validity)[0]
+    if valid.size < 2 or window < 1:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    vals = [names[i] if sort_key is None else sort_key(names[i]) for i in valid]
+    order = valid[np.argsort(np.asarray(vals, dtype=object), kind="stable")]
+    w = min(window, order.size - 1)
+    lo_list, hi_list = [], []
+    for d in range(1, w + 1):
+        lo_list.append(order[:-d])
+        hi_list.append(order[d:])
+    xs = np.concatenate(lo_list).astype(np.int64)
+    ys = np.concatenate(hi_list).astype(np.int64)
+    qi = np.maximum(xs, ys)  # normalize to i > j (sort order ≠ index order)
+    ci = np.minimum(xs, ys)
+    # a pair can appear once per (d, duplicate-value) — dedup pairs
+    uniq = np.unique(qi * np.int64(len(names)) + ci)
+    qi = (uniq // len(names)).astype(np.int64)
+    ci = (uniq % len(names)).astype(np.int64)
+    scores = _score_pairs(a, b, qi, ci, measure, cfg, pair_chunk)
+    hit = np.isfinite(scores) & (scores >= threshold)
+    qi, ci, scores = qi[hit], ci[hit], scores[hit]
+    order2 = np.lexsort((ci, qi, -scores))
+    return qi[order2], ci[order2], scores[order2]

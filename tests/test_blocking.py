@@ -1,0 +1,159 @@
+"""Blocking subsystem (EXTENSION — models/blocking.py): key generation,
+candidate-pair generation, blocked top-k vs a brute-force oracle restricted
+to shared keys, blocked dedup, and sorted-neighborhood dedup."""
+import random
+
+import numpy as np
+import pytest
+
+import strsim_tpu as st
+from strsim_tpu.models.blocking import (
+    blocked_pairs,
+    dedup_blocked,
+    dedup_sorted_neighborhood,
+    soundex_keys,
+    top_k_matches_blocked,
+    unpack_soundex,
+)
+from strsim_tpu.ops.oracle import ORACLES, soundex_code
+
+
+def _names(n, seed=5):
+    rng = random.Random(seed)
+    base = [
+        "phillips", "philips", "smith", "smyth", "schmidt", "johnson",
+        "jonson", "macdonald", "mcdonald", "featherstone", "featherston",
+        "chamberlain", "chamberlin", "o'brien", "obrien", "lee", "leigh",
+    ]
+    out = []
+    for i in range(n):
+        s = rng.choice(base)
+        if rng.random() < 0.4:  # perturb one char
+            p = rng.randrange(len(s))
+            s = s[:p] + rng.choice("abcdefghijklmnopqrstuvwxyz") + s[p + 1 :]
+        out.append(s)
+    return out
+
+
+def test_soundex_keys_match_oracle():
+    names = _names(300) + ["", "123", None, "Çelik", "Washington"]
+    keys = soundex_keys(names)
+    assert keys.dtype == np.int32
+    for s, k in zip(names, keys):
+        if s is None:
+            assert k == -1
+        else:
+            assert unpack_soundex(k) == soundex_code(s), (s, int(k))
+    assert unpack_soundex(-1) is None and unpack_soundex(0) == ""
+
+
+def test_blocked_pairs_semantics():
+    qk = np.array([10, 20, 30, -1, 10])
+    ck = np.array([20, 10, 10, 40, -1])
+    qi, ci = blocked_pairs(qk, ck)
+    got = set(zip(qi.tolist(), ci.tolist()))
+    assert got == {(0, 1), (0, 2), (4, 1), (4, 2), (1, 0)}
+    # self-join: ordered_only emits each unordered pair once, no self pairs
+    keys = np.array([7, 7, 7, 5])
+    qi, ci = blocked_pairs(keys, keys, ordered_only=True)
+    assert set(zip(qi.tolist(), ci.tolist())) == {(1, 0), (2, 0), (2, 1)}
+    assert np.all(qi > ci)
+
+
+def test_oversize_policies():
+    keys = np.zeros(10, dtype=np.int64)  # one block of 10
+    qi, ci = blocked_pairs(keys, keys, max_block_candidates=5, oversize="keep")
+    assert qi.size == 100
+    with pytest.warns(RuntimeWarning):
+        qi, ci = blocked_pairs(keys, keys, max_block_candidates=5, oversize="skip")
+    assert qi.size == 0
+    with pytest.raises(ValueError):
+        blocked_pairs(keys, keys, max_block_candidates=5, oversize="error")
+
+
+def _brute_topk_blocked(queries, candidates, measure, k, key_fn):
+    """Oracle: per query, rank same-key candidates by (score desc, index asc)."""
+    out_i = np.full((len(queries), k), -1, dtype=np.int64)
+    out_s = np.full((len(queries), k), np.nan)
+    for qi, qs in enumerate(queries):
+        if qs is None:
+            continue
+        kq = key_fn(qs)
+        scored = [
+            (-ORACLES[measure](qs, cs), ci)
+            for ci, cs in enumerate(candidates)
+            if cs is not None and key_fn(cs) == kq
+        ]
+        scored.sort()
+        for rank, (neg, ci) in enumerate(scored[:k]):
+            out_i[qi, rank] = ci
+            out_s[qi, rank] = -neg
+    return out_i, out_s
+
+
+def test_blocked_topk_matches_bruteforce():
+    queries = _names(60, seed=1) + [None, "", "zzz"]
+    candidates = _names(400, seed=2) + ["", None]
+    got_i, got_s = top_k_matches_blocked(queries, candidates, "jaro_winkler", k=3)
+    want_i, want_s = _brute_topk_blocked(
+        queries, candidates, "jaro_winkler", 3, soundex_code
+    )
+    np.testing.assert_array_equal(got_i, want_i)
+    # exact-f64 path: scores byte-identical to the oracle
+    assert got_s.tobytes() == want_s.tobytes()
+
+
+def test_blocked_topk_custom_key():
+    queries = ["smith", "smythe"]
+    candidates = ["smith", "smoot", "taylor"]
+    key = lambda col: np.array([0 if s and s[0] == "s" else 1 for s in col])
+    got_i, _ = top_k_matches_blocked(queries, candidates, "levenshtein", k=2, key=key)
+    assert got_i[0].tolist() == [0, 1]  # both s-names, smith first
+
+
+def test_dedup_blocked_finds_planted_dups():
+    names = _names(300, seed=3)
+    names[50] = "featherstone"
+    names[250] = "featherstone"  # exact dup
+    names[77] = "chamberlain"
+    names[170] = "chamberlane"  # near dup, same soundex
+    i, j, s = dedup_blocked(names, "jaro_winkler", threshold=0.95)
+    pairs = set(zip(i.tolist(), j.tolist()))
+    assert (250, 50) in pairs
+    assert (170, 77) in pairs
+    assert np.all(i > j)
+    assert np.all(s >= 0.95)
+    assert np.all(np.diff(s) <= 1e-18)  # sorted desc
+    # scores are the exact f64 path
+    for a, b, v in zip(i[:10], j[:10], s[:10]):
+        assert v == ORACLES["jaro_winkler"](names[a], names[b])
+
+
+def test_dedup_sorted_neighborhood():
+    names = ["anderson", "andersen", "smith", None, "smyth", "zzz", "anderson"]
+    i, j, s = dedup_sorted_neighborhood(names, "jaro_winkler", threshold=0.85, window=2)
+    pairs = set(zip(i.tolist(), j.tolist()))
+    assert (6, 0) in pairs  # exact dup, adjacent after sorting
+    assert (1, 0) in pairs or (6, 1) in pairs  # andersen next to an anderson
+    assert all(ii > jj for ii, jj in pairs)
+    # smith/smyth are adjacent in sort order: jw = 0.8933... clears 0.85
+    assert (4, 2) in pairs
+    # the null row never pairs
+    assert all(3 not in (ii, jj) for ii, jj in pairs)
+
+
+def test_blocked_vs_unblocked_recall():
+    """On a corpus whose duplicates are same-soundex (the designed case),
+    blocked top-1 equals brute-force top-1 for most queries — and never
+    reports a better-scoring candidate than brute force."""
+    from strsim_tpu.models.linkage import top_k_matches
+
+    queries = _names(40, seed=7)
+    candidates = _names(600, seed=8)
+    bi, bs = top_k_matches_blocked(queries, candidates, "jaro", k=1)
+    fi, fs = top_k_matches(queries, candidates, "jaro", k=1)
+    ok = bi[:, 0] >= 0
+    # blocked scores can never exceed the global best
+    assert np.all(bs[ok, 0] <= fs[ok, 0].astype(np.float64) + 1e-6)
+    agree = (bi[ok, 0] == fi[ok, 0]).mean()
+    assert agree >= 0.8, f"blocked/brute top-1 agreement {agree:.2f}"

@@ -1,0 +1,63 @@
+"""Normalization steps (EXTENSION — utils/preprocess.py) and their
+integration with compute(..., preprocess=...). The contract: preprocessing
+changes WHICH strings are compared, never how comparisons are scored —
+compute(m, A, B, preprocess=s) ≡ compute(m, pre(A), pre(B))."""
+import numpy as np
+import pytest
+
+import strsim_tpu as st
+from strsim_tpu.utils.preprocess import preprocess_column
+
+
+def test_steps():
+    col = ["  John   SMITH ", "Çelik", "straße", None, ""]
+    got = preprocess_column(col, ("strip", "collapse_spaces"))
+    assert got.tolist() == ["John SMITH", "Çelik", "straße", None, ""]
+    got = preprocess_column(col, ("casefold",))
+    assert got[2] == "strasse"  # full Unicode folding
+    got = preprocess_column(col, ("strip_accents",))
+    assert got[1] == "Celik"
+    got = preprocess_column(["smith john", "b a c"], ("token_sort",))
+    assert got.tolist() == ["john smith", "a b c"]
+    got = preprocess_column(["b a b a"], ("token_set",))
+    assert got.tolist() == ["a b"]
+    with pytest.raises(ValueError):
+        preprocess_column(col, ("nope",))
+
+
+def test_null_passthrough_and_idempotence():
+    col = ["A  b", None, "x"]
+    once = preprocess_column(col, ("casefold", "collapse_spaces", "token_sort"))
+    twice = preprocess_column(once, ("casefold", "collapse_spaces", "token_sort"))
+    assert once.tolist() == twice.tolist()
+    assert once[1] is None
+
+
+def test_compute_preprocess_equivalence():
+    a = ["john smith", "MÜLLER", "  padded  ", None]
+    b = ["smith john", "mueller", "padded", "x"]
+    steps = ("casefold", "strip_accents", "strip", "collapse_spaces", "token_sort")
+    got = st.compute("jaro_winkler", a, b, preprocess=steps)
+    want = st.compute(
+        "jaro_winkler", preprocess_column(a, steps), preprocess_column(b, steps)
+    )
+    assert got.tobytes() == want.tobytes()
+    assert got[0] == 1.0  # token order neutralized
+    assert np.isnan(got[3])
+
+
+def test_token_sort_makes_order_insensitive():
+    scores = st.compute_many(
+        ("levenshtein", "jaccard", "indel"),
+        ["maria garcia lopez"],
+        ["lopez maria garcia"],
+        preprocess=("token_sort",),
+    )
+    for m, v in scores.items():
+        assert v[0] == 1.0, m
+
+
+def test_strip_accents_recovers_soundex_key():
+    # unpreprocessed: Ç is skipped (code E420); folded: C420 — matches "Celik"
+    got = st.compute("soundex", ["Çelik"], ["Celik"], preprocess=("strip_accents",))
+    assert got[0] == 1.0

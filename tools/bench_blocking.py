@@ -1,0 +1,227 @@
+"""Measured benchmark for the blocking subsystem (models/blocking.py).
+
+Writes BENCH_BLOCKING.json:
+  - host phases at 1M rows: soundex key generation, blocked-pair generation,
+    sorted-neighborhood pair generation — these are the NEW costs blocking
+    adds on top of the scored pipeline;
+  - pair-budget reduction vs the brute-force self-join (the whole point);
+  - device scoring of a blocked-pair slice through the gather path
+    (pre-encoded tile gather → compute_scores), with the pipeline's own
+    phase metrics, cross-checked bit-exact vs the native C++ reference
+    implementation on a sample;
+  - recall@1 of blocked vs brute-force top-1 on a query subset (brute force
+    via models/linkage.top_k_matches on the same device kernels).
+
+Corpus: synthetic surname-like strings with planted near-duplicates —
+many distinct soundex keys (realistic block-size distribution), unlike
+bench.make_pairs whose 30-surname pool would put ~all rows in ~30 blocks.
+
+Run: `timeout 580 python tools/bench_blocking.py` (real TPU; honest about
+the ~30 MB/s relay tunnel in e2e numbers, as everywhere in this repo).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from strsim_tpu.models.blocking import (  # noqa: E402
+    iter_blocked_pairs,
+    soundex_keys,
+    top_k_matches_blocked,
+)
+from strsim_tpu.utils import encode as enc  # noqa: E402
+from strsim_tpu.utils.metrics import RunMetrics  # noqa: E402
+
+N = int(os.environ.get("STRSIM_BLOCKING_N", 1_000_000))
+SCORE_SLICE = int(os.environ.get("STRSIM_BLOCKING_SLICE", 4_000_000))
+RECALL_Q = 1000
+RECALL_C = 200_000
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[blocking +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def make_corpus(n: int, seed: int = 17):
+    """Surname-like strings: ~n/4 distinct bases (4-13 letters, consonant/
+    vowel alternation for plausible soundex spread), each row a base or a
+    one-char-perturbed near-duplicate; 0.5% nulls. Vectorized."""
+    rng = np.random.default_rng(seed)
+    d = max(n // 4, 1)
+    wmax = 13
+    cons = np.frombuffer(b"bcdfghjklmnpqrstvwxz", dtype=np.uint8)
+    vow = np.frombuffer(b"aeiouy", dtype=np.uint8)
+    cols = []
+    for i in range(wmax):
+        pool = cons if i % 2 == 0 else vow
+        cols.append(rng.choice(pool, size=d))
+    mat = np.stack(cols, axis=1).astype(np.uint32)  # [d, wmax]
+    lens = rng.integers(4, wmax + 1, size=d)
+    mat[np.arange(wmax)[None, :] >= lens[:, None]] = 0  # NUL-pad → U trim
+    bases = mat.view("<U13").ravel()
+
+    pick = rng.integers(0, d, size=n)
+    names = bases[pick].copy()
+    # perturb 30%: substitute one char (vectorized via UCS4 view)
+    per = rng.random(n) < 0.30
+    pi = np.nonzero(per)[0]
+    codes = np.ascontiguousarray(names).view(np.uint32).reshape(n, 13)
+    plen = np.char.str_len(names[pi])
+    pos = rng.integers(0, 1 << 30, size=pi.size) % plen
+    codes[pi, pos] = np.uint32(ord("a")) + rng.integers(0, 26, size=pi.size).astype(np.uint32)
+    names = codes.view("<U13").ravel()
+    out = np.empty(n, dtype=object)
+    out[:] = names.tolist()
+    for i in rng.choice(n, size=n // 200, replace=False):
+        out[i] = None
+    return out
+
+
+def main():
+    res = {
+        "_meta": {
+            "workload": f"{N} surname-like rows, ~{N // 4} distinct bases, 30% one-char perturbations, 0.5% nulls",
+            "host_phases": "single-process numpy wall times on this host",
+            "device_scoring": "blocked pairs scored via pre-encoded tile gather -> batch pipeline; phase split from RunMetrics; e2e rides the ~30 MB/s relay tunnel (see BENCH_DETAILS _meta)",
+            "recall_at_1": "fraction of queries whose blocked top-1 equals brute-force top-1 (same measure/kernels, models/linkage.top_k_matches), scored over ALL candidates",
+        }
+    }
+    log(f"corpus N={N}")
+    names = make_corpus(N)
+
+    t = time.perf_counter()
+    keys = soundex_keys(names)
+    t_keys = time.perf_counter() - t
+    n_valid = int((keys >= 0).sum())
+    n_distinct = int(np.unique(keys[keys >= 0]).size)
+    log(f"keys: {t_keys:.3f}s, {n_distinct} distinct")
+
+    # stream the self-join pairs (the production pattern: chunks are scored
+    # and freed); retain only the first SCORE_SLICE pairs for device scoring
+    t = time.perf_counter()
+    n_pairs = 0
+    slice_q, slice_c = [], []
+    kept = 0
+    for cq, cc in iter_blocked_pairs(keys, keys, ordered_only=True):
+        if kept < SCORE_SLICE:
+            slice_q.append(cq)
+            slice_c.append(cc)
+            kept += cq.size
+        n_pairs += cq.size
+    t_pairs = time.perf_counter() - t
+    qi = np.concatenate(slice_q)[:SCORE_SLICE]
+    ci = np.concatenate(slice_c)[:SCORE_SLICE]
+    brute = n_valid * (n_valid - 1) / 2
+    res["key_blocking"] = {
+        "rows": N,
+        "keys_wall_s": round(t_keys, 3),
+        "keys_per_sec": int(N / t_keys),
+        "distinct_keys": n_distinct,
+        "pairgen_wall_s": round(t_pairs, 3),
+        "pairgen_pairs_per_sec": int(n_pairs / max(t_pairs, 1e-9)),
+        "blocked_pairs": int(n_pairs),
+        "bruteforce_pairs": int(brute),
+        "reduction_x": round(brute / max(n_pairs, 1), 1),
+    }
+    log(f"pairs: {n_pairs} ({res['key_blocking']['reduction_x']}x reduction) in {t_pairs:.2f}s")
+
+    # sorted-neighborhood pair generation cost (host side only here)
+    t = time.perf_counter()
+    a_col = enc.encode_column(names, pad=enc.PAD_A)
+    valid = np.nonzero(a_col.validity)[0]
+    vals = names[valid]
+    order = valid[np.argsort(vals.astype("U"), kind="stable")]
+    t_sort = time.perf_counter() - t
+    res["sorted_neighborhood"] = {
+        "sort_wall_s": round(t_sort, 3),
+        "pairs_at_window_10": int((order.size - 1) * 10 - 45),
+    }
+
+    # device scoring of a blocked slice through the gather path
+    b_col = enc.encode_column(names, pad=enc.PAD_B)
+    ns = min(SCORE_SLICE, qi.size)
+    sl_q, sl_c = qi[:ns], ci[:ns]
+    metrics = RunMetrics()
+    from strsim_tpu.models.pipeline import compute_scores
+
+    ga = enc.EncodedColumn(a_col.codes[sl_q], a_col.lengths[sl_q], a_col.validity[sl_q])
+    gb = enc.EncodedColumn(b_col.codes[sl_c], b_col.lengths[sl_c], b_col.validity[sl_c])
+    t = time.perf_counter()
+    scores = compute_scores(ga, gb, ("jaro_winkler",), metrics=metrics)["jaro_winkler"][0]
+    t_score = time.perf_counter() - t
+    res["device_scoring_slice"] = {
+        "measure": "jaro_winkler",
+        "pairs": ns,
+        "e2e_wall_s": round(t_score, 3),
+        "e2e_pairs_per_sec": int(ns / t_score),
+        "device_wall_s": round(metrics.device_wall_s, 3),
+        "device_pairs_per_sec": int(metrics.device_rows / max(metrics.device_wall_s, 1e-9)),
+        "encode_s": round(metrics.encode_wall_s, 3),
+        "classify_s": round(metrics.classify_wall_s, 3),
+        "finalize_s": round(metrics.finalize_wall_s, 3),
+        "fast_path_rows": metrics.fast_path_rows,
+        "device_rows": metrics.device_rows,
+    }
+    log(f"slice scored: {ns} pairs e2e {t_score:.2f}s (device {metrics.device_wall_s:.2f}s)")
+
+    # bit-exact cross-check vs the native C++ reference implementation
+    from strsim_tpu.native.binding import native_compute_strings
+
+    samp = np.random.default_rng(0).choice(ns, size=min(50_000, ns), replace=False)
+    want = native_compute_strings(
+        "jaro_winkler", names[sl_q[samp]].tolist(), names[sl_c[samp]].tolist()
+    )
+    ok = scores[samp].tobytes() == want.tobytes()
+    res["device_scoring_slice"]["bit_exact_vs_native"] = bool(ok)
+    if not ok:
+        bad = np.nonzero(scores[samp] != want)[0]
+        log(f"PARITY FAILURE on {bad.size} rows!")
+    log(f"parity on 50K sample: {ok}")
+
+    # recall@1 vs brute force on a query subset
+    from strsim_tpu.models.linkage import top_k_matches
+
+    rngq = np.random.default_rng(5)
+    cand = names[:RECALL_C]
+    cvalid = np.array([s is not None for s in cand])
+    q_src = rngq.choice(np.nonzero(cvalid)[0], size=RECALL_Q, replace=False)
+    queries = cand[q_src].copy()
+    t = time.perf_counter()
+    bi, bs = top_k_matches_blocked(queries, cand, "jaro_winkler", k=1)
+    t_blocked = time.perf_counter() - t
+    t = time.perf_counter()
+    fi, fs = top_k_matches(queries, cand, "jaro_winkler", k=1)
+    t_brute = time.perf_counter() - t
+    found = bi[:, 0] >= 0
+    # recall on the *score* (ties on distinct indices with equal score count
+    # as recalled — top-1 identity is not unique under exact duplicates)
+    recall = float(
+        np.mean(found & (np.abs(bs[:, 0] - fs[:, 0].astype(np.float64)) <= 1e-6))
+    )
+    res["recall_at_1"] = {
+        "queries": RECALL_Q,
+        "candidates": RECALL_C,
+        "measure": "jaro_winkler",
+        "recall": round(recall, 4),
+        "blocked_wall_s": round(t_blocked, 3),
+        "bruteforce_wall_s": round(t_brute, 3),
+        "speedup_x": round(t_brute / max(t_blocked, 1e-9), 1),
+    }
+    log(f"recall@1 {recall:.3f}; blocked {t_blocked:.2f}s vs brute {t_brute:.2f}s")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_BLOCKING.json")
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    log(f"wrote {out}")
+    print(json.dumps(res)[:400])
+
+
+if __name__ == "__main__":
+    main()
