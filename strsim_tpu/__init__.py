@@ -66,7 +66,9 @@ from strsim_tpu.utils.preprocess import preprocess_column
 from strsim_tpu.models.blocking import (
     blocked_pairs,
     dedup_blocked,
+    dedup_records_blocked,
     dedup_sorted_neighborhood,
+    nysiis_keys,
     soundex_keys,
     top_k_matches_blocked,
     unpack_soundex,
@@ -107,8 +109,10 @@ __all__ = [
     "ensemble_scores",
     "blocked_pairs",
     "dedup_blocked",
+    "dedup_records_blocked",
     "dedup_sorted_neighborhood",
     "soundex_keys",
+    "nysiis_keys",
     "top_k_matches_blocked",
     "unpack_soundex",
     "preprocess_column",

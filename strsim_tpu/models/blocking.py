@@ -41,10 +41,13 @@ from strsim_tpu.utils import encode as enc
 
 __all__ = [
     "soundex_keys",
+    "nysiis_keys",
     "unpack_soundex",
     "blocked_pairs",
+    "iter_blocked_pairs",
     "top_k_matches_blocked",
     "dedup_blocked",
+    "dedup_records_blocked",
     "dedup_sorted_neighborhood",
 ]
 
@@ -112,6 +115,32 @@ def unpack_soundex(packed: Union[int, np.ndarray]):
     return [one(p) for p in np.asarray(packed).ravel()]
 
 
+def nysiis_keys(col) -> np.ndarray:
+    """NYSIIS phonetic codes for a string column: object ndarray of str
+    (None at null rows, "" for letterless strings). NYSIIS distinguishes
+    surname variants soundex merges (finer blocks) while still folding
+    spelling variation. Host-side only (the device measure family uses
+    soundex); cost is amortized over DISTINCT values — repeated names are
+    encoded once."""
+    from strsim_tpu.ops.oracle import nysiis_code
+
+    if isinstance(col, enc.EncodedColumn):
+        raise TypeError("nysiis_keys takes raw string columns, not EncodedColumn")
+    if hasattr(col, "to_list"):
+        col = col.to_list()
+    arr = np.empty(len(col), dtype=object)
+    arr[:] = list(col)
+    valid = np.array([s is not None for s in arr], dtype=bool)
+    vals = arr[valid].astype("U")
+    uniq, inv = np.unique(vals, return_inverse=True)
+    codes = np.empty(uniq.size, dtype=object)
+    for i, s in enumerate(uniq):
+        codes[i] = nysiis_code(s)
+    out = np.full(arr.shape[0], None, dtype=object)
+    out[valid] = codes[inv]
+    return out
+
+
 def _prefix_keys(col: enc.EncodedColumn, n_chars: int = 2) -> np.ndarray:
     """Case-folded (ASCII) first-n-codepoint keys packed into int64; -1 at
     null rows. Strings shorter than n_chars key on what they have."""
@@ -143,9 +172,14 @@ def _keys_for(col: enc.EncodedColumn, raw, key) -> np.ndarray:
         return keys_obj
     if key == "soundex":
         return _soundex_keys_encoded(col)
+    if key == "nysiis":
+        return nysiis_keys(raw)
     if key == "prefix":
         return _prefix_keys(col)
-    raise ValueError(f"unknown blocking key {key!r}; use 'soundex', 'prefix', or a callable")
+    raise ValueError(
+        f"unknown blocking key {key!r}; use 'soundex', 'nysiis', 'prefix', "
+        "or a callable"
+    )
 
 
 def _valid_key_mask(keys: np.ndarray) -> np.ndarray:
@@ -435,6 +469,76 @@ def dedup_blocked(
         chunk_pairs=pair_chunk,
     ):
         scores = _score_pairs(a, b, qi, ci, measure, cfg, pair_chunk)
+        hit = np.isfinite(scores) & (scores >= threshold)
+        out_i.append(qi[hit])
+        out_j.append(ci[hit])
+        out_s.append(scores[hit])
+    if not out_i:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    qi = _concat_fast(out_i)
+    ci = _concat_fast(out_j)
+    scores = _concat_fast(out_s)
+    order = np.lexsort((ci, qi, -scores))
+    return qi[order], ci[order], scores[order]
+
+
+def dedup_records_blocked(
+    fields: Sequence,
+    measures: Union[str, Sequence[str]] = "jaro_winkler",
+    weights: Optional[Sequence[float]] = None,
+    threshold: float = 0.9,
+    *,
+    key_field: int = 0,
+    key: Union[str, Callable] = "soundex",
+    missing: str = "renormalize",
+    config: Optional[StrsimConfig] = None,
+    pair_chunk: int = 2_000_000,
+    max_block_candidates: Optional[int] = None,
+    oversize: str = "keep",
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Record-level blocked dedup: block on ONE field's key, score every
+    surviving unordered record pair with the weighted multi-field ensemble
+    (exact f64, same null-field semantics as models/linkage.ensemble_scores),
+    return (i, j, scores) with scores >= threshold, i > j, sorted by score
+    descending. The production composition: soundex-block on surname, score
+    (given, surname, town, ...) with per-field measures/weights."""
+    from strsim_tpu.models.linkage import ensemble_scores
+
+    F = len(fields)
+    if F == 0:
+        raise ValueError("need at least one field")
+    if not (0 <= key_field < F):
+        raise ValueError(f"key_field {key_field} out of range for {F} fields")
+    cols = []
+    for f in fields:
+        if hasattr(f, "to_list"):
+            f = f.to_list()
+        arr = np.empty(len(f), dtype=object)
+        arr[:] = list(f)
+        cols.append(arr)
+    n = cols[0].shape[0]
+    if any(c.shape[0] != n for c in cols):
+        raise ValueError("all fields must have the same length")
+    kcol = enc.encode_column(cols[key_field], pad=enc.PAD_A)
+    keys = _keys_for(kcol, cols[key_field], key)
+    out_i, out_j, out_s = [], [], []
+    for qi, ci in iter_blocked_pairs(
+        keys,
+        keys,
+        ordered_only=True,
+        max_block_candidates=max_block_candidates,
+        oversize=oversize,
+        chunk_pairs=pair_chunk,
+    ):
+        scores = ensemble_scores(
+            [c[qi] for c in cols],
+            [c[ci] for c in cols],
+            measures=measures,
+            weights=weights,
+            missing=missing,
+            config=config,
+        )
         hit = np.isfinite(scores) & (scores >= threshold)
         out_i.append(qi[hit])
         out_j.append(ci[hit])

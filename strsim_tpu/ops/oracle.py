@@ -315,6 +315,84 @@ def soundex_code(s: str) -> str:
     return first + "".join(str(d) for d in digits) + "0" * (3 - len(digits))
 
 
+def nysiis_code(s: str) -> str:
+    """NYSIIS phonetic code (the original 1970 NYSIIS rule set, no length
+    truncation — the variant most modern libraries implement).
+
+    Only ASCII letters participate (case-insensitive); every other character
+    is dropped before encoding; no letters → empty code. Mirrored exactly by
+    the C++ batch key generator (native/strsim_host.cpp:nysiis_code) and
+    differentially tested against it."""
+    u = [c for c in s.upper() if "A" <= c <= "Z"]
+    if not u:
+        return ""
+    w = "".join(u)
+    # first-char transforms
+    if w.startswith("MAC"):
+        w = "MCC" + w[3:]
+    elif w.startswith("KN"):
+        w = "NN" + w[2:]
+    elif w.startswith("K"):
+        w = "C" + w[1:]
+    elif w.startswith(("PH", "PF")):
+        w = "FF" + w[2:]
+    elif w.startswith("SCH"):
+        w = "SSS" + w[3:]
+    # last-char transforms
+    if w.endswith(("EE", "IE")):
+        w = w[:-2] + "Y"
+    elif w.endswith(("DT", "RT", "RD", "NT", "ND")):
+        w = w[:-2] + "D"
+    key = [w[0]]
+    i = 1
+    n = len(w)
+    vowels = "AEIOU"
+    while i < n:
+        c = w[i]
+        step = 1
+        if c == "E" and i + 1 < n and w[i + 1] == "V":
+            rep = "AF"
+            step = 2
+        elif c in vowels:
+            rep = "A"
+        elif c == "Q":
+            rep = "G"
+        elif c == "Z":
+            rep = "S"
+        elif c == "M":
+            rep = "N"
+        elif c == "K":
+            if i + 1 < n and w[i + 1] == "N":
+                rep = "N"
+                step = 2
+            else:
+                rep = "C"
+        elif c == "S" and w[i : i + 3] == "SCH":
+            rep = "SSS"
+            step = 3
+        elif c == "P" and i + 1 < n and w[i + 1] == "H":
+            rep = "FF"
+            step = 2
+        elif c == "H" and (w[i - 1] not in vowels or (i + 1 < n and w[i + 1] not in vowels)):
+            rep = w[i - 1]
+        elif c == "W" and w[i - 1] in vowels:
+            rep = w[i - 1]
+        else:
+            rep = c
+        for r in rep:
+            if r != key[-1]:
+                key.append(r)
+        i += step
+    # terminal cleanup: trailing S, trailing AY -> Y, trailing A
+    if len(key) > 1 and key[-1] == "S":
+        key.pop()
+    if len(key) > 2 and key[-2] == "A" and key[-1] == "Y":
+        del key[-2]
+    if len(key) > 1 and key[-1] == "A":
+        key.pop()
+    return "".join(key)
+
+
 def soundex(a: str, b: str) -> float:
     """EXTENSION: soundex phonetic equality — 1.0 iff the codes match
     (two letterless strings share the empty code); one side empty → 0.0,

@@ -142,6 +142,49 @@ def test_dedup_sorted_neighborhood():
     assert all(3 not in (ii, jj) for ii, jj in pairs)
 
 
+def test_dedup_records_blocked():
+    from strsim_tpu.models.blocking import dedup_records_blocked
+    from strsim_tpu.models.linkage import ensemble_scores
+
+    given = ["john", "jon", "mary", "john", "peter", None]
+    surname = ["featherstone", "featherston", "smith", "featherstone", "smith", "x"]
+    i, j, s = dedup_records_blocked(
+        [given, surname],
+        measures=("jaro_winkler", "jaro_winkler"),
+        weights=(1.0, 2.0),
+        threshold=0.9,
+        key_field=1,  # block on surname soundex
+    )
+    pairs = dict(zip(zip(i.tolist(), j.tolist()), s.tolist()))
+    assert (3, 0) in pairs and pairs[(3, 0)] == 1.0  # exact dup record
+    assert (1, 0) in pairs and (3, 1) in pairs       # jon/john near-dups
+    # smith-block pair (mary, peter) scores low on given -> excluded
+    assert (4, 2) not in pairs
+    # exact-f64 ensemble parity on a returned pair
+    want = ensemble_scores(
+        [["jon"], ["featherston"]], [["john"], ["featherstone"]],
+        measures=("jaro_winkler", "jaro_winkler"), weights=(1.0, 2.0),
+    )[0]
+    assert pairs[(1, 0)] == want
+    # null key rows never pair; i > j and sorted desc
+    assert all(5 not in p for p in pairs)
+    assert np.all(i > j) and np.all(np.diff(s) <= 1e-18)
+
+
+def test_blocked_topk_on_device_mesh():
+    """Blocked scoring rides compute_scores, so it shards over the batch
+    mesh transparently: identical output with data_parallel_devices=8."""
+    queries = _names(40, seed=4)
+    candidates = _names(300, seed=5)
+    base_i, base_s = top_k_matches_blocked(queries, candidates, "jaro", k=3)
+    cfg = st.get_config().replace(data_parallel_devices=8)
+    mesh_i, mesh_s = top_k_matches_blocked(
+        queries, candidates, "jaro", k=3, config=cfg
+    )
+    np.testing.assert_array_equal(base_i, mesh_i)
+    assert base_s.tobytes() == mesh_s.tobytes()
+
+
 def test_blocked_vs_unblocked_recall():
     """On a corpus whose duplicates are same-soundex (the designed case),
     blocked top-1 equals brute-force top-1 for most queries — and never

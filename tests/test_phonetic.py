@@ -81,6 +81,49 @@ def test_measure_through_pipeline():
     np.testing.assert_array_equal(got, want)
 
 
+NYSIIS_GOLDEN = {
+    # hand-traced through the documented rule set (ops/oracle.py:nysiis_code)
+    "MACINTOSH": "MCANT",   # MAC->MCC, vowels->A, adjacent dedup, -A
+    "KNIGHT": "NAGT",       # KN->NN, silent-H rule
+    "PHILLIPS": "FALAP",    # PH->FF, trailing S dropped
+    "BESSY": "BASY",
+    "knight": "NAGT",       # case-insensitive
+    "O'Malley": "ONALY",    # non-letters dropped; M->N
+    "": "",
+    "123": "",
+    "A": "A",
+    "SCHMIDT": "SNAD",      # SCH->SSS, DT->D ending
+    "LAWSON": "LASAN",      # W after vowel -> previous (A), dedup
+}
+
+
+def test_nysiis_golden():
+    from strsim_tpu.ops.oracle import nysiis_code
+
+    for s, want in NYSIIS_GOLDEN.items():
+        assert nysiis_code(s) == want, (s, nysiis_code(s), want)
+
+
+def test_nysiis_keys_and_blocking():
+    from strsim_tpu.models.blocking import nysiis_keys, top_k_matches_blocked
+    from strsim_tpu.ops.oracle import nysiis_code
+
+    names = ["smith", "smitt", None, "", "knight", "night", "smith"]
+    keys = nysiis_keys(names)
+    assert keys[2] is None and keys[3] == ""
+    assert keys[0] == keys[6] == nysiis_code("smith")
+    assert keys[0] == keys[1] == "SNAT"  # smith/smitt fold together
+    # Y is NOT a NYSIIS vowel: smyth keys apart (SNYT) — documented behavior
+    assert nysiis_code("smyth") == "SNYT" != keys[0]
+    # knight (KN->NN) vs night (N...) — both NAGT under this rule set
+    assert keys[4] == keys[5] == "NAGT"
+    idx, sco = top_k_matches_blocked(
+        ["smits"], ["smith", "taylor", "smitt"], "levenshtein", k=2, key="nysiis"
+    )
+    assert idx[0, 0] in (0, 2)  # blocks with the SNAT names only
+    assert idx[0, 1] in (0, 2) and idx[0, 1] != idx[0, 0]
+
+
 def test_fused_with_core_measures():
     """soundex shares a kernel launch with the core five (stat-union fusion)."""
     a = ["Robert", "catherine", ""]
