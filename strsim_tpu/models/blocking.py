@@ -130,6 +130,12 @@ def nysiis_keys(col) -> np.ndarray:
         col = col.to_list()
     arr = np.empty(len(col), dtype=object)
     arr[:] = list(col)
+    try:  # threaded C++ batch encoder (bit-identical to the oracle)
+        from strsim_tpu.native.binding import native_phonetic_codes
+
+        return native_phonetic_codes(arr, "nysiis")
+    except Exception:
+        pass  # no toolchain: oracle over distinct values
     valid = np.array([s is not None for s in arr], dtype=bool)
     vals = arr[valid].astype("U")
     uniq, inv = np.unique(vals, return_inverse=True)

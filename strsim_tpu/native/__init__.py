@@ -9,6 +9,7 @@ from strsim_tpu.native.binding import (
     decode_utf8_column,
     native_compute,
     native_compute_strings,
+    native_phonetic_codes,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "decode_utf8_column",
     "native_compute",
     "native_compute_strings",
+    "native_phonetic_codes",
 ]

@@ -287,3 +287,46 @@ def native_compute_strings(measure: str, col_a: Sequence, col_b: Sequence) -> np
     b = enc.encode_column(col_b, pad=enc.PAD_B)
     validity = a.validity & b.validity
     return native_compute(measure, a.codes, a.lengths, b.codes, b.lengths, validity)
+
+
+PHONETIC_METHODS = {"soundex": 0, "nysiis": 1}
+
+
+def native_phonetic_codes(
+    col, method: str = "soundex", key_width: int = 32, threads: int = 0
+) -> np.ndarray:
+    """Batch phonetic codes via the threaded C++ encoder: object ndarray of
+    str (None at null rows, "" for letterless strings). NYSIIS codes longer
+    than key_width are truncated (codes are bounded by the string length;
+    32 covers any realistic name)."""
+    from strsim_tpu.utils import encode as enc
+
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if method not in PHONETIC_METHODS:
+        raise KeyError(f"unknown phonetic method {method!r}; available: "
+                       f"{', '.join(PHONETIC_METHODS)}")
+    c = col if isinstance(col, enc.EncodedColumn) else enc.encode_column(col, pad=enc.PAD_A)
+    flat, off = _ragged_from_encoded(c.codes, c.lengths)
+    n = c.n
+    out = np.zeros((n, key_width), dtype=np.uint8)
+    out_lens = np.empty(n, dtype=np.int32)
+    val = np.ascontiguousarray(c.validity.astype(np.uint8))
+    lib.strsim_phonetic_codes(
+        PHONETIC_METHODS[method],
+        _ptr(flat, ctypes.c_int32),
+        _ptr(off, ctypes.c_int64),
+        _ptr(val, ctypes.c_uint8),
+        n,
+        key_width,
+        threads,
+        _ptr(out, ctypes.c_uint8),
+        _ptr(out_lens, ctypes.c_int32),
+    )
+    res = np.empty(n, dtype=object)
+    view = out.view("S%d" % key_width).ravel()
+    for i in range(n):
+        ln = out_lens[i]
+        res[i] = None if ln < 0 else view[i][:ln].decode("ascii")
+    return res

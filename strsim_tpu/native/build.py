@@ -97,6 +97,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, i32p, i64p, i32p, i64p, i8p, ctypes.c_int64,
             ctypes.c_int32, f64p,
         ]
+        lib.strsim_phonetic_codes.restype = None
+        lib.strsim_phonetic_codes.argtypes = [
+            ctypes.c_int32, i32p, i64p, i8p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, i8p, i32p,
+        ]
         _LIB = lib
         return _LIB
 

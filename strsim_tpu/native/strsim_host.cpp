@@ -29,6 +29,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <string>
 #include <thread>
 #include <unordered_map>
 #include <utility>
@@ -796,6 +797,151 @@ void strsim_compute(int32_t measure, const int32_t* codes_a,
                     const int64_t* off_b, const uint8_t* validity, int64_t n,
                     double* out) {
   compute_range(measure, codes_a, off_a, codes_b, off_b, validity, 0, n, out);
+}
+
+namespace {
+
+// NYSIIS phonetic code — mirrors the Python oracle
+// (ops/oracle.py:nysiis_code) rule for rule; differentially tested against
+// it (tests/test_phonetic.py). Writes the code's chars into out (capacity
+// key_width, truncating longer codes) and returns the written length.
+int32_t nysiis_code(const int32_t* a, int64_t la, int32_t key_width,
+                    uint8_t* out) {
+  std::string w;
+  w.reserve(la);
+  for (int64_t i = 0; i < la; ++i) {
+    int32_t c = a[i];
+    if (c >= 65 && c <= 90) w.push_back(static_cast<char>(c));
+    else if (c >= 97 && c <= 122) w.push_back(static_cast<char>(c - 32));
+  }
+  if (w.empty()) return 0;
+  auto starts = [&](const char* p) { return w.rfind(p, 0) == 0; };
+  auto ends = [&](const char* p) {
+    size_t l = std::strlen(p);
+    return w.size() >= l && w.compare(w.size() - l, l, p) == 0;
+  };
+  // first-char transforms
+  if (starts("MAC")) w.replace(0, 3, "MCC");
+  else if (starts("KN")) w.replace(0, 2, "NN");
+  else if (starts("K")) w.replace(0, 1, "C");
+  else if (starts("PH") || starts("PF")) w.replace(0, 2, "FF");
+  else if (starts("SCH")) w.replace(0, 3, "SSS");
+  // last-char transforms
+  if (ends("EE") || ends("IE")) w.replace(w.size() - 2, 2, "Y");
+  else if (ends("DT") || ends("RT") || ends("RD") || ends("NT") || ends("ND"))
+    w.replace(w.size() - 2, 2, "D");
+  auto is_vowel = [](char c) {
+    return c == 'A' || c == 'E' || c == 'I' || c == 'O' || c == 'U';
+  };
+  std::string key(1, w[0]);
+  size_t i = 1, n = w.size();
+  while (i < n) {
+    char c = w[i];
+    size_t step = 1;
+    char repbuf[4];
+    const char* rep = repbuf;
+    repbuf[1] = 0;
+    if (c == 'E' && i + 1 < n && w[i + 1] == 'V') {
+      rep = "AF";
+      step = 2;
+    } else if (is_vowel(c)) {
+      repbuf[0] = 'A';
+    } else if (c == 'Q') {
+      repbuf[0] = 'G';
+    } else if (c == 'Z') {
+      repbuf[0] = 'S';
+    } else if (c == 'M') {
+      repbuf[0] = 'N';
+    } else if (c == 'K') {
+      if (i + 1 < n && w[i + 1] == 'N') {
+        repbuf[0] = 'N';
+        step = 2;
+      } else {
+        repbuf[0] = 'C';
+      }
+    } else if (c == 'S' && i + 2 < n && w[i + 1] == 'C' && w[i + 2] == 'H') {
+      rep = "SSS";
+      step = 3;
+    } else if (c == 'P' && i + 1 < n && w[i + 1] == 'H') {
+      rep = "FF";
+      step = 2;
+    } else if (c == 'H' && (!is_vowel(w[i - 1]) ||
+                            (i + 1 < n && !is_vowel(w[i + 1])))) {
+      repbuf[0] = w[i - 1];
+    } else if (c == 'W' && is_vowel(w[i - 1])) {
+      repbuf[0] = w[i - 1];
+    } else {
+      repbuf[0] = c;
+    }
+    for (const char* r = rep; *r; ++r)
+      if (*r != key.back()) key.push_back(*r);
+    i += step;
+  }
+  // terminal cleanup: trailing S, trailing AY -> Y, trailing A
+  if (key.size() > 1 && key.back() == 'S') key.pop_back();
+  if (key.size() > 2 && key[key.size() - 2] == 'A' && key.back() == 'Y')
+    key.erase(key.size() - 2, 1);
+  if (key.size() > 1 && key.back() == 'A') key.pop_back();
+  int32_t out_len = static_cast<int32_t>(
+      std::min<size_t>(key.size(), static_cast<size_t>(key_width)));
+  std::memcpy(out, key.data(), out_len);
+  return out_len;
+}
+
+void phonetic_range(int32_t method, const int32_t* codes, const int64_t* off,
+                    const uint8_t* validity, int64_t lo, int64_t hi,
+                    int32_t key_width, uint8_t* out, int32_t* out_lens) {
+  for (int64_t r = lo; r < hi; ++r) {
+    uint8_t* dst = out + r * key_width;
+    if (validity && !validity[r]) {
+      out_lens[r] = -1;  // null marker
+      continue;
+    }
+    const int32_t* a = codes + off[r];
+    int64_t la = off[r + 1] - off[r];
+    if (method == 1) {
+      out_lens[r] = nysiis_code(a, la, key_width, dst);
+    } else {  // method 0: soundex, packed code rendered as chars
+      int32_t p = soundex_code(a, la);
+      if (p == 0) {
+        out_lens[r] = 0;
+      } else {
+        dst[0] = static_cast<uint8_t>(p / 1000);
+        dst[1] = static_cast<uint8_t>('0' + (p / 100) % 10);
+        dst[2] = static_cast<uint8_t>('0' + (p / 10) % 10);
+        dst[3] = static_cast<uint8_t>('0' + p % 10);
+        out_lens[r] = 4;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+// Batch phonetic key generation (EXTENSION): method 0 = American Soundex
+// (4-char codes), 1 = NYSIIS (variable length, truncated to key_width).
+// Ragged layout as strsim_compute; out is [n, key_width] (callers zero it or
+// use out_lens), out_lens[r] = code length, -1 for null rows. Threaded.
+void strsim_phonetic_codes(int32_t method, const int32_t* codes,
+                           const int64_t* off, const uint8_t* validity,
+                           int64_t n, int32_t key_width, int32_t threads,
+                           uint8_t* out, int32_t* out_lens) {
+  int64_t t = threads > 0 ? threads : (int64_t)std::thread::hardware_concurrency();
+  if (t <= 1 || n < 4096) {
+    phonetic_range(method, codes, off, validity, 0, n, key_width, out, out_lens);
+    return;
+  }
+  t = std::min<int64_t>(t, n);
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  int64_t chunk = n / t;
+  for (int64_t i = 0; i < t; ++i) {
+    int64_t lo = i * chunk;
+    int64_t hi = (i == t - 1) ? n : lo + chunk;
+    pool.emplace_back(phonetic_range, method, codes, off, validity, lo, hi,
+                      key_width, out, out_lens);
+  }
+  for (auto& th : pool) th.join();
 }
 
 // Multi-threaded variant: equal row ranges over `threads` std::threads (the

@@ -124,6 +124,28 @@ def test_nysiis_keys_and_blocking():
     assert idx[0, 1] in (0, 2) and idx[0, 1] != idx[0, 0]
 
 
+def test_native_phonetic_codes_match_oracles():
+    """The threaded C++ batch encoder vs the Python oracles, both methods,
+    on random strings incl. unicode/nulls/letterless."""
+    from strsim_tpu.native import native_available
+    from strsim_tpu.native.binding import native_phonetic_codes
+    from strsim_tpu.ops.oracle import nysiis_code, soundex_code
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(23)
+    chars = "abchwyzé HWK' nSCHmac123"
+    names = [
+        "".join(rng.choice(chars) for _ in range(rng.randrange(0, 40)))
+        for _ in range(2000)
+    ] + [None, "", "MACINTOSH", "knight", "Pfister"]
+    for method, oracle in (("nysiis", nysiis_code), ("soundex", soundex_code)):
+        got = native_phonetic_codes(names, method)
+        for s, g in zip(names, got):
+            want = None if s is None else oracle(s)
+            assert g == want, (method, s, g, want)
+
+
 def test_fused_with_core_measures():
     """soundex shares a kernel launch with the core five (stat-union fusion)."""
     a = ["Robert", "catherine", ""]

@@ -33,6 +33,7 @@ SETS = [
     (("hamming",), ()),
     (("cosine",), ("overlap",)),
     (("jaccard_bigram",), ("sorensen_dice_bigram",)),
+    (("soundex",), ()),
     (
         (
             "jaccard_bigram",
@@ -43,6 +44,7 @@ SETS = [
             "lcs_seq",
             "indel",
             "osa",
+            "soundex",
         ),
         (),
     ),
