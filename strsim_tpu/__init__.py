@@ -71,6 +71,7 @@ from strsim_tpu.models.blocking import (
     nysiis_keys,
     soundex_keys,
     top_k_matches_blocked,
+    top_k_matches_multi_blocked,
     unpack_soundex,
 )
 from strsim_tpu.models.measures import MEASURES
@@ -114,6 +115,7 @@ __all__ = [
     "soundex_keys",
     "nysiis_keys",
     "top_k_matches_blocked",
+    "top_k_matches_multi_blocked",
     "unpack_soundex",
     "preprocess_column",
 ]

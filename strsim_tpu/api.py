@@ -117,12 +117,13 @@ def compute_many(
 
 
 def _measure_fn(measure: str):
-    def fn(expr, other, *, config: Optional[StrsimConfig] = None):
+    def fn(expr, other, *, config: Optional[StrsimConfig] = None, preprocess=None):
         if _is_expr_input(expr) or _is_expr_input(other):
             from strsim_tpu.utils.polars_compat import build_expr
 
-            return build_expr(measure, expr, other, config=config)
-        return compute(measure, expr, other, config=config)
+            return build_expr(measure, expr, other, config=config,
+                              preprocess=preprocess)
+        return compute(measure, expr, other, config=config, preprocess=preprocess)
 
     fn.__name__ = measure
     fn.__qualname__ = measure

@@ -46,6 +46,7 @@ __all__ = [
     "blocked_pairs",
     "iter_blocked_pairs",
     "top_k_matches_blocked",
+    "top_k_matches_multi_blocked",
     "dedup_blocked",
     "dedup_records_blocked",
     "dedup_sorted_neighborhood",
@@ -489,6 +490,97 @@ def dedup_blocked(
     return qi[order], ci[order], scores[order]
 
 
+def _obj_cols(fields: Sequence) -> list:
+    cols = []
+    for f in fields:
+        if hasattr(f, "to_list"):
+            f = f.to_list()
+        arr = np.empty(len(f), dtype=object)
+        arr[:] = list(f)
+        cols.append(arr)
+    return cols
+
+
+def top_k_matches_multi_blocked(
+    query_fields: Sequence,
+    candidate_fields: Sequence,
+    measures: Union[str, Sequence[str]] = "jaro_winkler",
+    weights: Optional[Sequence[float]] = None,
+    k: int = 5,
+    *,
+    key_field: int = 0,
+    key: Union[str, Callable] = "soundex",
+    missing: str = "renormalize",
+    config: Optional[StrsimConfig] = None,
+    pair_chunk: int = 2_000_000,
+    max_block_candidates: Optional[int] = None,
+    oversize: str = "keep",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Blocked multi-field record matching: like
+    models/linkage.top_k_matches_multi, but only candidate records sharing
+    the query's blocking key (computed on field `key_field`) are scored —
+    the blocked counterpart completing the API matrix
+    (top_k_matches / top_k_matches_multi / top_k_matches_blocked / this).
+
+    Returns (indices [Q, k] int64, scores [Q, k] f64 — EXACT ensemble
+    scores, byte-identical to models/linkage.ensemble_scores on the same
+    record pairs). Ties break by ascending candidate index."""
+    from strsim_tpu.models.linkage import ensemble_scores
+
+    F = len(query_fields)
+    if F == 0 or len(candidate_fields) != F:
+        raise ValueError(
+            f"need matching non-empty field lists, got {F} / {len(candidate_fields)}"
+        )
+    if not (0 <= key_field < F):
+        raise ValueError(f"key_field {key_field} out of range for {F} fields")
+    qcols = _obj_cols(query_fields)
+    ccols = _obj_cols(candidate_fields)
+    nq = qcols[0].shape[0]
+    if any(c.shape[0] != nq for c in qcols):
+        raise ValueError("all query fields must have the same length")
+    if any(c.shape[0] != ccols[0].shape[0] for c in ccols):
+        raise ValueError("all candidate fields must have the same length")
+    qk_col = enc.encode_column(qcols[key_field], pad=enc.PAD_A)
+    ck_col = enc.encode_column(ccols[key_field], pad=enc.PAD_B)
+    qkeys = _keys_for(qk_col, qcols[key_field], key)
+    ckeys = _keys_for(ck_col, ccols[key_field], key)
+    part_q, part_c, part_s = [], [], []
+    for qi, ci in iter_blocked_pairs(
+        qkeys,
+        ckeys,
+        max_block_candidates=max_block_candidates,
+        oversize=oversize,
+        chunk_pairs=pair_chunk,
+    ):
+        scores = ensemble_scores(
+            [c[qi] for c in qcols],
+            [c[ci] for c in ccols],
+            measures=measures,
+            weights=weights,
+            missing=missing,
+            config=config,
+        )
+        ti, ts = _segment_topk(qi, ci, scores, nq, k)
+        m = ti >= 0
+        rr, _ = np.nonzero(m)
+        part_q.append(rr.astype(np.int64))
+        part_c.append(ti[m])
+        part_s.append(ts[m])
+    if not part_q:
+        return (
+            np.full((nq, max(k, 0)), -1, dtype=np.int64),
+            np.full((nq, max(k, 0)), np.nan, dtype=np.float64),
+        )
+    return _segment_topk(
+        np.concatenate(part_q),
+        np.concatenate(part_c),
+        np.concatenate(part_s),
+        nq,
+        k,
+    )
+
+
 def dedup_records_blocked(
     fields: Sequence,
     measures: Union[str, Sequence[str]] = "jaro_winkler",
@@ -516,13 +608,7 @@ def dedup_records_blocked(
         raise ValueError("need at least one field")
     if not (0 <= key_field < F):
         raise ValueError(f"key_field {key_field} out of range for {F} fields")
-    cols = []
-    for f in fields:
-        if hasattr(f, "to_list"):
-            f = f.to_list()
-        arr = np.empty(len(f), dtype=object)
-        arr[:] = list(f)
-        cols.append(arr)
+    cols = _obj_cols(fields)
     n = cols[0].shape[0]
     if any(c.shape[0] != n for c in cols):
         raise ValueError("all fields must have the same length")

@@ -55,7 +55,8 @@ def parse_into_expr(
 
 
 def build_expr(
-    measure: str, expr, other, config: Optional[StrsimConfig] = None
+    measure: str, expr, other, config: Optional[StrsimConfig] = None,
+    preprocess=None,
 ):
     pl = backend_for(expr, other)
     a = parse_into_expr(expr, dtype=pl.Utf8, pl=pl)
@@ -66,6 +67,11 @@ def build_expr(
 
         col_a = s.struct.field("__strsim_a").to_list()
         col_b = s.struct.field("__strsim_b").to_list()
+        if preprocess is not None:  # normalization is per-row → streamable
+            from strsim_tpu.utils.preprocess import preprocess_column
+
+            col_a = preprocess_column(col_a, preprocess)
+            col_b = preprocess_column(col_b, preprocess)
         values, validity = compute_scores(col_a, col_b, (measure,), config=config)[measure]
         return pl.Series(
             measure,

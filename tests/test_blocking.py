@@ -171,6 +171,41 @@ def test_dedup_records_blocked():
     assert np.all(i > j) and np.all(np.diff(s) <= 1e-18)
 
 
+def test_topk_multi_blocked_matches_bruteforce():
+    """Blocked multi-field top-k vs a brute-force oracle restricted to
+    shared keys on the key field; exact ensemble scores."""
+    from strsim_tpu.models.blocking import top_k_matches_multi_blocked
+    from strsim_tpu.models.linkage import ensemble_scores
+    from strsim_tpu.ops.oracle import soundex_code
+
+    rng = random.Random(31)
+    q_sur = _names(25, seed=11)
+    q_giv = [rng.choice(["john", "jon", "mary", None]) for _ in q_sur]
+    c_sur = _names(200, seed=12) + [None]
+    c_giv = [rng.choice(["john", "jane", "mary", "maria"]) for _ in c_sur]
+    got_i, got_s = top_k_matches_multi_blocked(
+        [q_giv, q_sur], [c_giv, c_sur],
+        measures=("jaro_winkler", "levenshtein"), weights=(1.0, 2.0),
+        k=3, key_field=1,
+    )
+    for qy in range(len(q_sur)):
+        cand = [ci for ci, cs in enumerate(c_sur)
+                if cs is not None and soundex_code(cs) == soundex_code(q_sur[qy])]
+        if not cand:
+            assert got_i[qy, 0] == -1
+            continue
+        want = ensemble_scores(
+            [[q_giv[qy]] * len(cand), [q_sur[qy]] * len(cand)],
+            [[c_giv[ci] for ci in cand], [c_sur[ci] for ci in cand]],
+            measures=("jaro_winkler", "levenshtein"), weights=(1.0, 2.0),
+        )
+        ranked = sorted(
+            ((-s, ci) for s, ci in zip(want, cand) if np.isfinite(s))
+        )[:3]
+        for r, (neg, ci) in enumerate(ranked):
+            assert got_i[qy, r] == ci and got_s[qy, r] == -neg, (qy, r)
+
+
 def test_blocked_topk_on_device_mesh():
     """Blocked scoring rides compute_scores, so it shards over the batch
     mesh transparently: identical output with data_parallel_devices=8."""

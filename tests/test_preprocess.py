@@ -57,6 +57,22 @@ def test_token_sort_makes_order_insensitive():
         assert v[0] == 1.0, m
 
 
+def test_preprocess_through_expression_layer():
+    """preprocess= threads through the measure functions' expression mode
+    (minipl map_batches, incl. streaming chunk splits)."""
+    from strsim_tpu import minipl as pl
+
+    df = pl.DataFrame(
+        {"a": ["john smith", "MÜLLER"], "b": ["smith john", "muller"]}
+    )
+    out = df.with_columns(
+        st.indel(pl.col("a"), pl.col("b"),
+                 preprocess=("casefold", "strip_accents", "token_sort"))
+    )
+    vals = out["indel"].to_list()
+    assert vals[0] == 1.0 and vals[1] == 1.0
+
+
 def test_strip_accents_recovers_soundex_key():
     # unpreprocessed: Ç is skipped (code E420); folded: C420 — matches "Celik"
     got = st.compute("soundex", ["Çelik"], ["Celik"], preprocess=("strip_accents",))
