@@ -76,7 +76,7 @@ from strsim_tpu.models.blocking import (
 )
 from strsim_tpu.models.measures import MEASURES
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "levenshtein",
