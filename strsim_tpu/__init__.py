@@ -66,6 +66,7 @@ from strsim_tpu.utils.preprocess import preprocess_column
 from strsim_tpu.models.blocking import (
     blocked_pairs,
     dedup_blocked,
+    dedup_blocked_stream,
     dedup_records_blocked,
     dedup_sorted_neighborhood,
     nysiis_keys,
@@ -110,6 +111,7 @@ __all__ = [
     "ensemble_scores",
     "blocked_pairs",
     "dedup_blocked",
+    "dedup_blocked_stream",
     "dedup_records_blocked",
     "dedup_sorted_neighborhood",
     "soundex_keys",

@@ -48,6 +48,7 @@ __all__ = [
     "top_k_matches_blocked",
     "top_k_matches_multi_blocked",
     "dedup_blocked",
+    "dedup_blocked_stream",
     "dedup_records_blocked",
     "dedup_sorted_neighborhood",
 ]
@@ -210,6 +211,21 @@ def _concat_fast(parts) -> np.ndarray:
     return out
 
 
+def _group_shards(shared: np.ndarray, num_shards: int) -> np.ndarray:
+    """Deterministic shard id per key group (process-salt-free, so every
+    process computes the same partition): multixed int keys, crc32 for
+    object keys."""
+    if shared.dtype.kind in "iu":
+        mixed = (shared.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return (mixed % np.uint64(num_shards)).astype(np.int64)
+    import zlib
+
+    return np.array(
+        [zlib.crc32(str(k).encode("utf-8")) % num_shards for k in shared],
+        dtype=np.int64,
+    )
+
+
 def iter_blocked_pairs(
     query_keys: np.ndarray,
     cand_keys: np.ndarray,
@@ -219,6 +235,8 @@ def iter_blocked_pairs(
     max_block_candidates: Optional[int] = None,
     oversize: str = "keep",
     chunk_pairs: int = 2_000_000,
+    shard: Optional[int] = None,
+    num_shards: int = 1,
 ):
     """Yield (qi, ci) chunks of ≤ ~chunk_pairs candidate pairs from key
     equality: all pairs with query_keys[qi] == cand_keys[ci]; keys < 0 / None
@@ -228,6 +246,13 @@ def iter_blocked_pairs(
     ci < qi (emit each unordered pair once). max_block_candidates + oversize
     govern blocks whose candidate side exceeds the limit ("keep"/"skip"/
     "error").
+
+    Multi-process partitioning: with shard/num_shards set, only key groups
+    whose deterministic shard id (_group_shards — identical on every
+    process) equals `shard` are emitted; the union over shards is exactly
+    the full pair set, disjoint, so P workers each running
+    `dedup_blocked(names, shard=rank, num_shards=P)` cover a corpus with no
+    coordination beyond concatenating results.
 
     Chunked BY DESIGN: a 1M-row self-join easily produces 10⁸-10⁹ pairs, and
     materializing index arrays at that scale is allocator-bound in this
@@ -256,6 +281,13 @@ def iter_blocked_pairs(
     shared, qpos, cpos = np.intersect1d(uq, uc, return_indices=True)
     if shared.size == 0:
         return
+    if shard is not None:
+        if not (0 <= shard < num_shards):
+            raise ValueError(f"shard {shard} out of range for num_shards {num_shards}")
+        keep = _group_shards(shared, num_shards) == shard
+        shared, qpos, cpos = shared[keep], qpos[keep], cpos[keep]
+        if shared.size == 0:
+            return
 
     n_skipped = 0
     buf_q, buf_c, buffered = [], [], 0
@@ -455,6 +487,8 @@ def dedup_blocked(
     pair_chunk: int = 2_000_000,
     max_block_candidates: Optional[int] = None,
     oversize: str = "keep",
+    shard: Optional[int] = None,
+    num_shards: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Blocked self-join dedup: score every unordered same-key pair once and
     return (i, j, scores) for pairs with score >= threshold, sorted by score
@@ -474,6 +508,8 @@ def dedup_blocked(
         max_block_candidates=max_block_candidates,
         oversize=oversize,
         chunk_pairs=pair_chunk,
+        shard=shard,
+        num_shards=num_shards,
     ):
         scores = _score_pairs(a, b, qi, ci, measure, cfg, pair_chunk)
         hit = np.isfinite(scores) & (scores >= threshold)
@@ -594,6 +630,8 @@ def dedup_records_blocked(
     pair_chunk: int = 2_000_000,
     max_block_candidates: Optional[int] = None,
     oversize: str = "keep",
+    shard: Optional[int] = None,
+    num_shards: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Record-level blocked dedup: block on ONE field's key, score every
     surviving unordered record pair with the weighted multi-field ensemble
@@ -622,6 +660,8 @@ def dedup_records_blocked(
         max_block_candidates=max_block_candidates,
         oversize=oversize,
         chunk_pairs=pair_chunk,
+        shard=shard,
+        num_shards=num_shards,
     ):
         scores = ensemble_scores(
             [c[qi] for c in cols],
@@ -643,6 +683,56 @@ def dedup_records_blocked(
     scores = _concat_fast(out_s)
     order = np.lexsort((ci, qi, -scores))
     return qi[order], ci[order], scores[order]
+
+
+def dedup_blocked_stream(
+    names,
+    measure: str = "jaro_winkler",
+    threshold: float = 0.9,
+    *,
+    key: Union[str, Callable] = "soundex",
+    journal=None,
+    config: Optional[StrsimConfig] = None,
+    pair_chunk: int = 2_000_000,
+    max_block_candidates: Optional[int] = None,
+    oversize: str = "keep",
+    shard: Optional[int] = None,
+    num_shards: int = 1,
+):
+    """Restartable streaming form of dedup_blocked for corpora whose blocked
+    pair count runs to 10⁸+: yields (chunk_id, i, j, scores) per pair chunk
+    — only pairs clearing the threshold, i > j, exact f64 — so a caller can
+    persist incrementally. With a parallel.restart.RunJournal, chunks whose
+    id is recorded are skipped on resume (mark them done AFTER durably
+    storing, like models/stream.run_stream_restartable). Chunk ids are
+    deterministic for identical (names, key, chunking, shard) parameters —
+    the journal-validity precondition.
+
+    The union of this generator's output over all chunks equals
+    dedup_blocked's rows (dedup_blocked additionally globally sorts)."""
+    (measure,) = resolve_measures(measure)
+    cfg = config or get_config()
+    a = enc.encode_column(names, pad=enc.PAD_A)
+    b = enc.encode_column(names, pad=enc.PAD_B)
+    keys = _keys_for(a, names, key)
+    for idx, (qi, ci) in enumerate(
+        iter_blocked_pairs(
+            keys,
+            keys,
+            ordered_only=True,
+            max_block_candidates=max_block_candidates,
+            oversize=oversize,
+            chunk_pairs=pair_chunk,
+            shard=shard,
+            num_shards=num_shards,
+        )
+    ):
+        chunk_id = f"dedup{'' if shard is None else f'.s{shard}'}.{idx:06d}"
+        if journal is not None and journal.is_done(chunk_id):
+            continue
+        scores = _score_pairs(a, b, qi, ci, measure, cfg, pair_chunk)
+        hit = np.isfinite(scores) & (scores >= threshold)
+        yield chunk_id, qi[hit], ci[hit], scores[hit]
 
 
 def dedup_sorted_neighborhood(

@@ -142,6 +142,40 @@ def test_dedup_sorted_neighborhood():
     assert all(3 not in (ii, jj) for ii, jj in pairs)
 
 
+def test_key_sharding_partitions_exactly():
+    """shard/num_shards: the union of per-shard pair sets equals the full
+    set, disjoint — the multi-process partition contract (every process
+    computes the same deterministic assignment)."""
+    rng = np.random.default_rng(9)
+    for keys in (
+        rng.integers(0, 50, size=2000),
+        np.array([f"K{i % 37}" for i in range(2000)], dtype=object),
+    ):
+        full = set(
+            zip(*(x.tolist() for x in blocked_pairs(keys, keys, ordered_only=True)))
+        )
+        parts = []
+        for s in range(3):
+            from strsim_tpu.models.blocking import iter_blocked_pairs
+
+            got = set()
+            for qi, ci in iter_blocked_pairs(
+                keys, keys, ordered_only=True, shard=s, num_shards=3
+            ):
+                got.update(zip(qi.tolist(), ci.tolist()))
+            parts.append(got)
+        assert set().union(*parts) == full
+        assert sum(len(p) for p in parts) == len(full)  # disjoint
+    # sharded dedup composes: concatenating shard results == unsharded
+    names = _names(200, seed=13)
+    i0, j0, s0 = dedup_blocked(names, "jaro", threshold=0.9)
+    allp = set()
+    for s in range(3):
+        i, j, _ = dedup_blocked(names, "jaro", threshold=0.9, shard=s, num_shards=3)
+        allp.update(zip(i.tolist(), j.tolist()))
+    assert allp == set(zip(i0.tolist(), j0.tolist()))
+
+
 def test_dedup_records_blocked():
     from strsim_tpu.models.blocking import dedup_records_blocked
     from strsim_tpu.models.linkage import ensemble_scores
@@ -235,3 +269,37 @@ def test_blocked_vs_unblocked_recall():
     assert np.all(bs[ok, 0] <= fs[ok, 0].astype(np.float64) + 1e-6)
     agree = (bi[ok, 0] == fi[ok, 0]).mean()
     assert agree >= 0.8, f"blocked/brute top-1 agreement {agree:.2f}"
+
+
+def test_dedup_blocked_stream_restart(tmp_path):
+    """Streaming dedup with journal skip: interrupt after the first chunk,
+    resume, union equals the non-streaming result."""
+    from strsim_tpu.models.blocking import dedup_blocked_stream
+    from strsim_tpu.parallel.restart import RunJournal
+
+    names = _names(400, seed=21)
+    want_i, want_j, _ = dedup_blocked(names, "jaro", threshold=0.9)
+    want = set(zip(want_i.tolist(), want_j.tolist()))
+
+    journal = RunJournal(str(tmp_path / "j.jsonl"))
+    got = set()
+    # first pass: store + mark only the first chunk, then "crash"
+    for cid, i, j, s in dedup_blocked_stream(
+        names, "jaro", threshold=0.9, journal=journal, pair_chunk=500
+    ):
+        got.update(zip(i.tolist(), j.tolist()))
+        journal.mark_done(cid)
+        break
+    n_first = len(got)
+    # resume: journal skips the completed chunk
+    journal2 = RunJournal(str(tmp_path / "j.jsonl"))
+    seen_ids = []
+    for cid, i, j, s in dedup_blocked_stream(
+        names, "jaro", threshold=0.9, journal=journal2, pair_chunk=500
+    ):
+        seen_ids.append(cid)
+        got.update(zip(i.tolist(), j.tolist()))
+        journal2.mark_done(cid)
+    assert "dedup.000000" not in seen_ids  # skipped on resume
+    assert got == want
+    assert n_first < len(want)  # the break really interrupted mid-run
