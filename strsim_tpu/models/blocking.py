@@ -425,7 +425,7 @@ def top_k_matches_blocked(
     measure: str = "jaro_winkler",
     k: int = 5,
     *,
-    key: Union[str, Callable] = "soundex",
+    key: Union[str, Callable, Sequence] = "soundex",
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,
     max_block_candidates: Optional[int] = None,
@@ -436,6 +436,13 @@ def top_k_matches_blocked(
     product shrinks to the blocked pair count (typically 100-1000× fewer),
     which is what makes 1M×1M linkage tractable.
 
+    `key` may be a TUPLE of keys (e.g. ("soundex", "prefix")): candidates
+    matching the query under ANY key compete — the standard multi-key union
+    that buys back the recall a single key loses to typos in its sensitive
+    positions (measured per key and for the union in BENCH_BLOCKING.json).
+    A candidate reachable via several keys is scored once per key (scores
+    are identical) and deduplicated before ranking.
+
     Returns (indices [Q, k] int64, scores [Q, k] f64 — EXACT host-f64
     finalization, bit-identical to `compute` on the same pairs). Queries with
     no same-key candidate (or null queries) get -1 / NaN rows. Deterministic:
@@ -444,37 +451,40 @@ def top_k_matches_blocked(
     cfg = config or get_config()
     q = enc.encode_column(queries, pad=enc.PAD_A)
     c = enc.encode_column(candidates, pad=enc.PAD_B)
-    qk = _keys_for(q, queries, key)
-    ck = _keys_for(c, candidates, key)
+    keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
     # stream pair chunks: score each, keep only its per-query top-k triples,
     # then merge — the full pair list is never materialized
     part_q, part_c, part_s = [], [], []
-    for qi, ci in iter_blocked_pairs(
-        qk,
-        ck,
-        max_block_candidates=max_block_candidates,
-        oversize=oversize,
-        chunk_pairs=pair_chunk,
-    ):
-        scores = _score_pairs(q, c, qi, ci, measure, cfg, pair_chunk)
-        ti, ts = _segment_topk(qi, ci, scores, q.n, k)
-        m = ti >= 0
-        rr, _ = np.nonzero(m)
-        part_q.append(rr.astype(np.int64))
-        part_c.append(ti[m])
-        part_s.append(ts[m])
+    for kspec in keys_list:
+        qk = _keys_for(q, queries, kspec)
+        ck = _keys_for(c, candidates, kspec)
+        for qi, ci in iter_blocked_pairs(
+            qk,
+            ck,
+            max_block_candidates=max_block_candidates,
+            oversize=oversize,
+            chunk_pairs=pair_chunk,
+        ):
+            scores = _score_pairs(q, c, qi, ci, measure, cfg, pair_chunk)
+            ti, ts = _segment_topk(qi, ci, scores, q.n, k)
+            m = ti >= 0
+            rr, _ = np.nonzero(m)
+            part_q.append(rr.astype(np.int64))
+            part_c.append(ti[m])
+            part_s.append(ts[m])
     if not part_q:
         return (
             np.full((q.n, max(k, 0)), -1, dtype=np.int64),
             np.full((q.n, max(k, 0)), np.nan, dtype=np.float64),
         )
-    return _segment_topk(
-        np.concatenate(part_q),
-        np.concatenate(part_c),
-        np.concatenate(part_s),
-        q.n,
-        k,
-    )
+    allq = np.concatenate(part_q)
+    allc = np.concatenate(part_c)
+    alls = np.concatenate(part_s)
+    if len(keys_list) > 1:  # a pair found via several keys ranks once
+        packed = allq * np.int64(max(c.n, 1)) + allc
+        _, first = np.unique(packed, return_index=True)
+        allq, allc, alls = allq[first], allc[first], alls[first]
+    return _segment_topk(allq, allc, alls, q.n, k)
 
 
 def dedup_blocked(
@@ -482,7 +492,7 @@ def dedup_blocked(
     measure: str = "jaro_winkler",
     threshold: float = 0.9,
     *,
-    key: Union[str, Callable] = "soundex",
+    key: Union[str, Callable, Sequence] = "soundex",
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,
     max_block_candidates: Optional[int] = None,
@@ -490,7 +500,8 @@ def dedup_blocked(
     shard: Optional[int] = None,
     num_shards: int = 1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Blocked self-join dedup: score every unordered same-key pair once and
+    """Blocked self-join dedup; `key` may be a tuple of keys (multi-key
+    union — pairs blocked by several keys are emitted once): score every unordered same-key pair once and
     return (i, j, scores) for pairs with score >= threshold, sorted by score
     descending (ties: ascending i, then j). i > j by construction; exact-f64
     scores; null rows never pair."""
@@ -498,30 +509,36 @@ def dedup_blocked(
     cfg = config or get_config()
     a = enc.encode_column(names, pad=enc.PAD_A)
     b = enc.encode_column(names, pad=enc.PAD_B)
-    keys = _keys_for(a, names, key)
+    keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
     # stream pair chunks; only pairs clearing the threshold are retained
     out_i, out_j, out_s = [], [], []
-    for qi, ci in iter_blocked_pairs(
-        keys,
-        keys,
-        ordered_only=True,
-        max_block_candidates=max_block_candidates,
-        oversize=oversize,
-        chunk_pairs=pair_chunk,
-        shard=shard,
-        num_shards=num_shards,
-    ):
-        scores = _score_pairs(a, b, qi, ci, measure, cfg, pair_chunk)
-        hit = np.isfinite(scores) & (scores >= threshold)
-        out_i.append(qi[hit])
-        out_j.append(ci[hit])
-        out_s.append(scores[hit])
+    for kspec in keys_list:
+        keys = _keys_for(a, names, kspec)
+        for qi, ci in iter_blocked_pairs(
+            keys,
+            keys,
+            ordered_only=True,
+            max_block_candidates=max_block_candidates,
+            oversize=oversize,
+            chunk_pairs=pair_chunk,
+            shard=shard,
+            num_shards=num_shards,
+        ):
+            scores = _score_pairs(a, b, qi, ci, measure, cfg, pair_chunk)
+            hit = np.isfinite(scores) & (scores >= threshold)
+            out_i.append(qi[hit])
+            out_j.append(ci[hit])
+            out_s.append(scores[hit])
     if not out_i:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.float64)
     qi = _concat_fast(out_i)
     ci = _concat_fast(out_j)
     scores = _concat_fast(out_s)
+    if len(keys_list) > 1:  # a pair blocked by several keys is emitted once
+        packed = qi * np.int64(max(a.n, 1)) + ci
+        _, first = np.unique(packed, return_index=True)
+        qi, ci, scores = qi[first], ci[first], scores[first]
     order = np.lexsort((ci, qi, -scores))
     return qi[order], ci[order], scores[order]
 

@@ -176,6 +176,35 @@ def test_key_sharding_partitions_exactly():
     assert allp == set(zip(i0.tolist(), j0.tolist()))
 
 
+def test_multikey_union():
+    """key=("soundex","prefix"): candidates reachable under EITHER key
+    compete; pairs found via both keys rank/emit once."""
+    queries = ["smith"]
+    # "zmith": same soundex class? s->2... z->2 but FIRST letter differs ->
+    # different soundex; shares prefix with nothing. "sm..." shares prefix.
+    candidates = ["smith", "smyth", "smoot", "zmith", "taylor"]
+    i1, s1 = top_k_matches_blocked(queries, candidates, "levenshtein", k=4,
+                                   key="soundex")
+    i2, s2 = top_k_matches_blocked(queries, candidates, "levenshtein", k=4,
+                                   key=("soundex", "prefix"))
+    set1 = set(i1[0][i1[0] >= 0].tolist())
+    set2 = set(i2[0][i2[0] >= 0].tolist())
+    assert set1 <= set2  # union only adds candidates
+    assert 2 in set2     # "smoot" shares the "sm" prefix key
+    # no duplicates in the union's top-k columns
+    vals = i2[0][i2[0] >= 0]
+    assert len(set(vals.tolist())) == vals.size
+    # dedup union: same contract on the self-join
+    names = _names(150, seed=17)
+    ia, ja, _ = dedup_blocked(names, "jaro", threshold=0.9, key="soundex")
+    ib, jb, _ = dedup_blocked(names, "jaro", threshold=0.9,
+                              key=("soundex", "prefix"))
+    pa = set(zip(ia.tolist(), ja.tolist()))
+    pb_list = list(zip(ib.tolist(), jb.tolist()))
+    pb = set(pb_list)
+    assert pa <= pb and len(pb_list) == len(pb)  # superset, emitted once
+
+
 def test_dedup_records_blocked():
     from strsim_tpu.models.blocking import dedup_records_blocked
     from strsim_tpu.models.linkage import ensemble_scores
