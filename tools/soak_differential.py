@@ -13,7 +13,8 @@ from strsim_tpu.native import native_compute_strings
 DEADLINE = time.time() + int(os.environ.get("SOAK_SECONDS", "1200"))
 rng = random.Random(int(time.time()))
 alphas = ["ab", "abc", "abcdefgh", "abcdefghijklmnopqrstuvwxyz -'", "aéü日本語𝄞́"]
-MEASURES = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
+# full registry: the 5 reference measures + every extension (incl. soundex)
+from strsim_tpu.models.measures import MEASURE_NAMES as MEASURES  # noqa: E402
 batches = 0
 while time.time() < DEADLINE:
     n = rng.choice([37, 513, 4097, 20011])
