@@ -16,11 +16,14 @@ encoded tiles (fancy indexing — no re-encode) through
 models/pipeline.compute_scores. Per-query top-k is one lexsort per chunk
 merge. Everything is deterministic: ties break by ascending candidate index.
 
-Key functions are pluggable; built-ins:
+Key functions are pluggable; built-ins (a tuple unions several keys):
   "soundex"  — American Soundex (ops/phonetic.py spec), numpy-vectorized
                host implementation differentially tested vs the oracle
-  "prefix"   — first cfg-independent 2 codepoints, case-folded (ASCII)
+  "nysiis"   — NYSIIS codes (finer blocks; threaded C++ batch encoder)
+  "prefix"   — first 2 codepoints, case-folded (ASCII)
   callable   — any fn(list[str|None]) -> np.ndarray of hashable keys
+Rows with no keyable content (nulls; empty/letterless strings under the
+built-ins) never block.
 
 Oversized blocks (a very common key — e.g. soundex S530 over US surnames)
 are governed by `oversize`: "keep" scores them all, "skip" drops the block
@@ -135,7 +138,12 @@ def nysiis_keys(col) -> np.ndarray:
     try:  # threaded C++ batch encoder (bit-identical to the oracle)
         from strsim_tpu.native.binding import native_phonetic_codes
 
-        return native_phonetic_codes(arr, "nysiis")
+        col_enc = enc.encode_column(arr, pad=enc.PAD_A)
+        # NYSIIS codes are at most as long as the letter count, so sizing
+        # the buffer to the longest row keeps native == oracle even for
+        # unsplit >32-char fields (the binding default would truncate)
+        kw = int(max(8, col_enc.lengths.max() + 1)) if col_enc.n else 8
+        return native_phonetic_codes(col_enc, "nysiis", key_width=kw)
     except Exception:
         pass  # no toolchain: oracle over distinct values
     valid = np.array([s is not None for s in arr], dtype=bool)
@@ -164,26 +172,44 @@ def _prefix_keys(col: enc.EncodedColumn, n_chars: int = 2) -> np.ndarray:
 
 
 def _keys_for(col: enc.EncodedColumn, raw, key) -> np.ndarray:
+    """Blocking keys for a column; rows that must never block (nulls, and —
+    for the built-in keys — rows with no keyable content: empty strings,
+    letterless strings under phonetic keys) come back as -1 / None. Without
+    that exclusion a corpus encoding missing values as "" would form one
+    quadratic block of score-1.0 non-matches (standard ER treats empty like
+    missing). Callable keys own their semantics: only nulls are masked."""
     if callable(key):
         keys = np.asarray(key(raw))
         if keys.shape[0] != col.n:
             raise ValueError(
                 f"key function returned {keys.shape[0]} keys for {col.n} rows"
             )
-        keys = keys.copy()
         # nulls never block
-        if keys.dtype.kind in "iu":
+        if keys.dtype.kind == "i":
+            keys = keys.copy()
             keys[~col.validity] = -1
             return keys
+        if keys.dtype.kind == "u":
+            # unsigned can't hold the -1 null marker (and a bijective int64
+            # cast could collide a real 2^64-1 key with it): go via objects
+            keys_obj = keys.astype(object)
+            keys_obj[~col.validity] = None
+            return keys_obj
         keys_obj = keys.astype(object)
         keys_obj[~col.validity] = None
         return keys_obj
     if key == "soundex":
-        return _soundex_keys_encoded(col)
+        k = _soundex_keys_encoded(col)
+        k[k == 0] = -1  # letterless / empty: no phonetic content
+        return k
     if key == "nysiis":
-        return nysiis_keys(raw)
+        k = nysiis_keys(raw)
+        k[k == ""] = None  # letterless / empty
+        return k
     if key == "prefix":
-        return _prefix_keys(col)
+        k = _prefix_keys(col)
+        k[col.lengths == 0] = -1  # empty strings never block
+        return k
     raise ValueError(
         f"unknown blocking key {key!r}; use 'soundex', 'nysiis', 'prefix', "
         "or a callable"
@@ -301,28 +327,43 @@ def iter_blocked_pairs(
                 )
             if oversize == "skip":
                 n_skipped += 1
+                if n_skipped == 1:
+                    # warn IMMEDIATELY (a consumer that stops early must
+                    # still learn blocks were dropped); aggregate at the end
+                    warnings.warn(
+                        f"blocking: skipping oversized block {shared[g]!r} "
+                        f"({csz} > {max_block_candidates} candidates); "
+                        "re-block such keys with a finer key (further "
+                        "skips aggregated at end of iteration)",
+                        RuntimeWarning,
+                    )
                 continue
         qs = q_idx[q_order[q_start[qpos[g]] : q_start[qpos[g]] + q_cnt[qpos[g]]]]
         cs = c_idx[c_order[c_start[cpos[g]] : c_start[cpos[g]] + csz]]
-        rows_per = max(1, chunk_pairs // max(csz, 1))
-        for lo in range(0, qs.size, rows_per):
-            qpart = qs[lo : lo + rows_per]
-            qq = np.repeat(qpart, csz)
-            cx = np.tile(cs, qpart.size)
-            if exclude_self or ordered_only:
-                keep = (cx < qq) if ordered_only else (cx != qq)
-                qq, cx = qq[keep], cx[keep]
-            if qq.size:
-                buf_q.append(qq)
-                buf_c.append(cx)
-                buffered += qq.size
-            if buffered >= chunk_pairs:
-                yield (
-                    np.concatenate(buf_q).astype(np.int64),
-                    np.concatenate(buf_c).astype(np.int64),
-                )
-                buf_q, buf_c, buffered = [], [], 0
-    if n_skipped:
+        # bound BOTH sides so one huge block still streams in <= ~chunk_pairs
+        # chunks: slice candidates first, then query rows per slice
+        for clo in range(0, csz, chunk_pairs):
+            cs_part = cs[clo : clo + chunk_pairs]
+            cn = cs_part.size
+            rows_per = max(1, chunk_pairs // max(cn, 1))
+            for lo in range(0, qs.size, rows_per):
+                qpart = qs[lo : lo + rows_per]
+                qq = np.repeat(qpart, cn)
+                cx = np.tile(cs_part, qpart.size)
+                if exclude_self or ordered_only:
+                    keep = (cx < qq) if ordered_only else (cx != qq)
+                    qq, cx = qq[keep], cx[keep]
+                if qq.size:
+                    buf_q.append(qq)
+                    buf_c.append(cx)
+                    buffered += qq.size
+                if buffered >= chunk_pairs:
+                    yield (
+                        np.concatenate(buf_q).astype(np.int64),
+                        np.concatenate(buf_c).astype(np.int64),
+                    )
+                    buf_q, buf_c, buffered = [], [], 0
+    if n_skipped > 1:
         warnings.warn(
             f"blocking: skipped {n_skipped} oversized block(s) "
             f"(> {max_block_candidates} candidates); re-block such keys "
@@ -510,6 +551,14 @@ def dedup_blocked(
     a = enc.encode_column(names, pad=enc.PAD_A)
     b = enc.encode_column(names, pad=enc.PAD_B)
     keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
+    # Under a multi-key union, shard by PAIR hash (not key group): a pair
+    # blocked by two keys whose groups hash to different shards would
+    # otherwise be emitted by both workers — the per-process cross-key
+    # dedup can't see across shards. Pair-level assignment keeps every
+    # (i, j) in exactly one shard regardless of which key found it.
+    pair_shard = shard is not None and len(keys_list) > 1
+    if pair_shard and not (0 <= shard < num_shards):
+        raise ValueError(f"shard {shard} out of range for num_shards {num_shards}")
     # stream pair chunks; only pairs clearing the threshold are retained
     out_i, out_j, out_s = [], [], []
     for kspec in keys_list:
@@ -521,9 +570,16 @@ def dedup_blocked(
             max_block_candidates=max_block_candidates,
             oversize=oversize,
             chunk_pairs=pair_chunk,
-            shard=shard,
-            num_shards=num_shards,
+            shard=None if pair_shard else shard,
+            num_shards=1 if pair_shard else num_shards,
         ):
+            if pair_shard:
+                packed = (qi * np.int64(max(a.n, 1)) + ci).astype(np.uint64)
+                mix = (packed * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+                keep = (mix % np.uint64(num_shards)).astype(np.int64) == shard
+                qi, ci = qi[keep], ci[keep]
+                if qi.size == 0:
+                    continue
             scores = _score_pairs(a, b, qi, ci, measure, cfg, pair_chunk)
             hit = np.isfinite(scores) & (scores >= threshold)
             out_i.append(qi[hit])
@@ -541,6 +597,34 @@ def dedup_blocked(
         qi, ci, scores = qi[first], ci[first], scores[first]
     order = np.lexsort((ci, qi, -scores))
     return qi[order], ci[order], scores[order]
+
+
+def _ensemble_score_pairs(
+    qa_cols, cb_cols, qi, ci, measures, weights, missing, cfg
+) -> np.ndarray:
+    """Exact-f64 weighted ensemble scores for (qi, ci) record pairs over
+    PRE-ENCODED per-field columns (qa_cols encoded PAD_A, cb_cols PAD_B) —
+    same combine semantics as models/linkage.ensemble_scores, but gathering
+    tiles instead of re-encoding raw strings every chunk (the encode-once
+    design the single-field path uses)."""
+    num = den = any_valid = None
+    for f, m in enumerate(measures):
+        res = compute_scores(
+            _gather(qa_cols[f], qi), _gather(cb_cols[f], ci), (m,), config=cfg
+        )
+        vals, validity = res[m]
+        contrib = np.where(validity, vals, 0.0) * weights[f]
+        wmask = np.where(validity, weights[f], 0.0)
+        num = contrib if num is None else num + contrib
+        den = wmask if den is None else den + wmask
+        any_valid = validity if any_valid is None else (any_valid | validity)
+    if missing == "zero":
+        den = np.where(any_valid, float(sum(weights)), 0.0)
+    out = np.full(num.shape, np.nan, dtype=np.float64)
+    ok = any_valid & (den > 0)
+    np.divide(num, den, out=out, where=ok)
+    out[~ok] = np.nan
+    return out
 
 
 def _obj_cols(fields: Sequence) -> list:
@@ -578,8 +662,6 @@ def top_k_matches_multi_blocked(
     Returns (indices [Q, k] int64, scores [Q, k] f64 — EXACT ensemble
     scores, byte-identical to models/linkage.ensemble_scores on the same
     record pairs). Ties break by ascending candidate index."""
-    from strsim_tpu.models.linkage import ensemble_scores
-
     F = len(query_fields)
     if F == 0 or len(candidate_fields) != F:
         raise ValueError(
@@ -594,10 +676,17 @@ def top_k_matches_multi_blocked(
         raise ValueError("all query fields must have the same length")
     if any(c.shape[0] != ccols[0].shape[0] for c in ccols):
         raise ValueError("all candidate fields must have the same length")
-    qk_col = enc.encode_column(qcols[key_field], pad=enc.PAD_A)
-    ck_col = enc.encode_column(ccols[key_field], pad=enc.PAD_B)
-    qkeys = _keys_for(qk_col, qcols[key_field], key)
-    ckeys = _keys_for(ck_col, ccols[key_field], key)
+    if missing not in ("renormalize", "zero"):
+        raise ValueError(f"missing must be 'renormalize' or 'zero', got {missing!r}")
+    from strsim_tpu.models.linkage import _normalize_fields
+
+    measures_t, weights_t = _normalize_fields(measures, weights, F)
+    cfg = config or get_config()
+    # encode every field ONCE; chunks gather tiles (no per-chunk re-encode)
+    qa_cols = [enc.encode_column(c, pad=enc.PAD_A) for c in qcols]
+    cb_cols = [enc.encode_column(c, pad=enc.PAD_B) for c in ccols]
+    qkeys = _keys_for(qa_cols[key_field], qcols[key_field], key)
+    ckeys = _keys_for(cb_cols[key_field], ccols[key_field], key)
     part_q, part_c, part_s = [], [], []
     for qi, ci in iter_blocked_pairs(
         qkeys,
@@ -606,13 +695,8 @@ def top_k_matches_multi_blocked(
         oversize=oversize,
         chunk_pairs=pair_chunk,
     ):
-        scores = ensemble_scores(
-            [c[qi] for c in qcols],
-            [c[ci] for c in ccols],
-            measures=measures,
-            weights=weights,
-            missing=missing,
-            config=config,
+        scores = _ensemble_score_pairs(
+            qa_cols, cb_cols, qi, ci, measures_t, weights_t, missing, cfg
         )
         ti, ts = _segment_topk(qi, ci, scores, nq, k)
         m = ti >= 0
@@ -656,19 +740,25 @@ def dedup_records_blocked(
     return (i, j, scores) with scores >= threshold, i > j, sorted by score
     descending. The production composition: soundex-block on surname, score
     (given, surname, town, ...) with per-field measures/weights."""
-    from strsim_tpu.models.linkage import ensemble_scores
-
     F = len(fields)
     if F == 0:
         raise ValueError("need at least one field")
     if not (0 <= key_field < F):
         raise ValueError(f"key_field {key_field} out of range for {F} fields")
+    if missing not in ("renormalize", "zero"):
+        raise ValueError(f"missing must be 'renormalize' or 'zero', got {missing!r}")
+    from strsim_tpu.models.linkage import _normalize_fields
+
     cols = _obj_cols(fields)
     n = cols[0].shape[0]
     if any(c.shape[0] != n for c in cols):
         raise ValueError("all fields must have the same length")
-    kcol = enc.encode_column(cols[key_field], pad=enc.PAD_A)
-    keys = _keys_for(kcol, cols[key_field], key)
+    measures_t, weights_t = _normalize_fields(measures, weights, F)
+    cfg = config or get_config()
+    # encode every field ONCE per pad side; chunks gather tiles
+    qa_cols = [enc.encode_column(c, pad=enc.PAD_A) for c in cols]
+    cb_cols = [enc.encode_column(c, pad=enc.PAD_B) for c in cols]
+    keys = _keys_for(qa_cols[key_field], cols[key_field], key)
     out_i, out_j, out_s = [], [], []
     for qi, ci in iter_blocked_pairs(
         keys,
@@ -680,13 +770,8 @@ def dedup_records_blocked(
         shard=shard,
         num_shards=num_shards,
     ):
-        scores = ensemble_scores(
-            [c[qi] for c in cols],
-            [c[ci] for c in cols],
-            measures=measures,
-            weights=weights,
-            missing=missing,
-            config=config,
+        scores = _ensemble_score_pairs(
+            qa_cols, cb_cols, qi, ci, measures_t, weights_t, missing, cfg
         )
         hit = np.isfinite(scores) & (scores >= threshold)
         out_i.append(qi[hit])

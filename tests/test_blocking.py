@@ -79,6 +79,8 @@ def _brute_topk_blocked(queries, candidates, measure, k, key_fn):
         if qs is None:
             continue
         kq = key_fn(qs)
+        if kq == "":  # empty/letterless rows never block (no keyable content)
+            continue
         scored = [
             (-ORACLES[measure](qs, cs), ci)
             for ci, cs in enumerate(candidates)
@@ -332,3 +334,55 @@ def test_dedup_blocked_stream_restart(tmp_path):
     assert "dedup.000000" not in seen_ids  # skipped on resume
     assert got == want
     assert n_first < len(want)  # the break really interrupted mid-run
+
+
+def test_review_fixes_regressions():
+    """Regressions for the round-3 code-review findings (all previously
+    reproduced failures)."""
+    from strsim_tpu.models.blocking import iter_blocked_pairs, nysiis_keys
+    from strsim_tpu.ops.oracle import nysiis_code
+
+    # (1) multi-key union + sharding: pairs found via several keys land in
+    # exactly one shard — concatenated shard results equal the unsharded
+    # run with NO duplicates
+    names = _names(150, seed=19)
+    i0, j0, _ = dedup_blocked(names, "jaro", threshold=0.9, key=("soundex", "prefix"))
+    want = list(zip(i0.tolist(), j0.tolist()))
+    assert len(want) == len(set(want))
+    got = []
+    for s in range(3):
+        i, j, _ = dedup_blocked(names, "jaro", threshold=0.9,
+                                key=("soundex", "prefix"), shard=s, num_shards=3)
+        got.extend(zip(i.tolist(), j.tolist()))
+    assert len(got) == len(set(got)), "duplicate pairs across shards"
+    assert set(got) == set(want)
+
+    # (2) a callable key returning uint64 (crc-style) must not crash
+    key = lambda col: np.array([hash(s) % 97 if s else 0 for s in col], dtype=np.uint64)
+    idx, _ = top_k_matches_blocked(["smith", None], ["smith", "smyth"],
+                                   "levenshtein", k=1, key=key)
+    assert idx[0, 0] == 0 and idx[1, 0] == -1
+
+    # (3) native nysiis matches the oracle beyond the old 32-char buffer
+    long = "abcdefghijklmnopqrstuvwxyz" * 3  # 78 letters
+    keys = nysiis_keys([long])
+    assert keys[0] == nysiis_code(long)
+    assert len(nysiis_code(long)) > 32
+
+    # (4) one huge block streams in bounded chunks (both sides split)
+    keys = np.zeros(3000, dtype=np.int64)
+    sizes = [q.size for q, _ in iter_blocked_pairs(keys, keys, chunk_pairs=1000)]
+    assert sum(sizes) == 3000 * 3000
+    assert max(sizes) <= 2 * 1000  # bounded (buffer flushes at >= chunk_pairs)
+
+    # (5) empty / letterless strings never block (no quadratic 1.0 flood)
+    names = ["", "", "123", "456", "smith", "smith", None]
+    i, j, s = dedup_blocked(names, "jaro_winkler", threshold=0.5)
+    pairs = set(zip(i.tolist(), j.tolist()))
+    assert pairs == {(5, 4)}
+
+    # (7) oversize='skip' warns immediately, even if iteration stops early
+    big = np.zeros(10, dtype=np.int64)
+    with pytest.warns(RuntimeWarning):
+        gen = iter_blocked_pairs(big, big, max_block_candidates=5, oversize="skip")
+        next(gen, None)  # consume only the first step
