@@ -386,3 +386,48 @@ def test_review_fixes_regressions():
     with pytest.warns(RuntimeWarning):
         gen = iter_blocked_pairs(big, big, max_block_candidates=5, oversize="skip")
         next(gen, None)  # consume only the first step
+
+
+def test_blocked_pairs_randomized_vs_bruteforce():
+    """Property test: for random key arrays (dtypes, duplicates, invalids,
+    asymmetric sides), blocked_pairs equals the brute-force definition
+    {(q, c): keys_q[q] == keys_c[c], both valid} under every flag combo."""
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        nq = int(rng.integers(0, 60))
+        nc = int(rng.integers(0, 60))
+        if rng.random() < 0.5:
+            qk = rng.integers(-1, 8, size=nq)
+            ck = rng.integers(-1, 8, size=nc)
+        else:
+            pool = np.array(["a", "b", "c", None, "dd"], dtype=object)
+            qk = pool[rng.integers(0, 5, size=nq)]
+            ck = pool[rng.integers(0, 5, size=nc)]
+
+        def valid(k):
+            return k is not None and not (isinstance(k, (int, np.integer)) and k < 0)
+
+        want = {
+            (q, c)
+            for q in range(nq)
+            for c in range(nc)
+            if valid(qk[q]) and valid(ck[c]) and qk[q] == ck[c]
+        }
+        qi, ci = blocked_pairs(qk, ck)
+        assert set(zip(qi.tolist(), ci.tolist())) == want, trial
+        if nq == nc:
+            qi, ci = blocked_pairs(qk, ck, ordered_only=True)
+            assert set(zip(qi.tolist(), ci.tolist())) == {
+                (q, c) for q, c in want if c < q
+            }
+            qi, ci = blocked_pairs(qk, ck, exclude_self=True)
+            assert set(zip(qi.tolist(), ci.tolist())) == {
+                (q, c) for q, c in want if c != q
+            }
+        # tiny chunk size must not change the pair set
+        from strsim_tpu.models.blocking import iter_blocked_pairs
+
+        got = set()
+        for qi, ci in iter_blocked_pairs(qk, ck, chunk_pairs=7):
+            got.update(zip(qi.tolist(), ci.tolist()))
+        assert got == want, trial
