@@ -405,6 +405,14 @@ def blocked_pairs(
     return _concat_fast([q for q, _ in chunks]), _concat_fast([c for _, c in chunks])
 
 
+def _maybe_pre(col, steps):
+    if steps is None:
+        return col
+    from strsim_tpu.utils.preprocess import preprocess_column
+
+    return preprocess_column(col, steps)
+
+
 def _gather(col: enc.EncodedColumn, idx: np.ndarray) -> enc.EncodedColumn:
     return enc.EncodedColumn(
         codes=col.codes[idx],
@@ -471,6 +479,7 @@ def top_k_matches_blocked(
     pair_chunk: int = 2_000_000,
     max_block_candidates: Optional[int] = None,
     oversize: str = "keep",
+    preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Blocked top-k matching: like models/linkage.top_k_matches, but only
     candidates sharing the query's blocking key are scored — the Q×C cross
@@ -490,6 +499,8 @@ def top_k_matches_blocked(
     score ties break by ascending candidate index."""
     (measure,) = resolve_measures(measure)
     cfg = config or get_config()
+    queries = _maybe_pre(queries, preprocess)
+    candidates = _maybe_pre(candidates, preprocess)
     q = enc.encode_column(queries, pad=enc.PAD_A)
     c = enc.encode_column(candidates, pad=enc.PAD_B)
     keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
@@ -540,6 +551,7 @@ def dedup_blocked(
     oversize: str = "keep",
     shard: Optional[int] = None,
     num_shards: int = 1,
+    preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Blocked self-join dedup; `key` may be a tuple of keys (multi-key
     union — pairs blocked by several keys are emitted once): score every unordered same-key pair once and
@@ -548,6 +560,7 @@ def dedup_blocked(
     scores; null rows never pair."""
     (measure,) = resolve_measures(measure)
     cfg = config or get_config()
+    names = _maybe_pre(names, preprocess)
     a = enc.encode_column(names, pad=enc.PAD_A)
     b = enc.encode_column(names, pad=enc.PAD_B)
     keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
@@ -652,6 +665,7 @@ def top_k_matches_multi_blocked(
     pair_chunk: int = 2_000_000,
     max_block_candidates: Optional[int] = None,
     oversize: str = "keep",
+    preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Blocked multi-field record matching: like
     models/linkage.top_k_matches_multi, but only candidate records sharing
@@ -669,8 +683,8 @@ def top_k_matches_multi_blocked(
         )
     if not (0 <= key_field < F):
         raise ValueError(f"key_field {key_field} out of range for {F} fields")
-    qcols = _obj_cols(query_fields)
-    ccols = _obj_cols(candidate_fields)
+    qcols = [_maybe_pre(c, preprocess) for c in _obj_cols(query_fields)]
+    ccols = [_maybe_pre(c, preprocess) for c in _obj_cols(candidate_fields)]
     nq = qcols[0].shape[0]
     if any(c.shape[0] != nq for c in qcols):
         raise ValueError("all query fields must have the same length")
@@ -733,6 +747,7 @@ def dedup_records_blocked(
     oversize: str = "keep",
     shard: Optional[int] = None,
     num_shards: int = 1,
+    preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Record-level blocked dedup: block on ONE field's key, score every
     surviving unordered record pair with the weighted multi-field ensemble
@@ -749,7 +764,7 @@ def dedup_records_blocked(
         raise ValueError(f"missing must be 'renormalize' or 'zero', got {missing!r}")
     from strsim_tpu.models.linkage import _normalize_fields
 
-    cols = _obj_cols(fields)
+    cols = [_maybe_pre(c, preprocess) for c in _obj_cols(fields)]
     n = cols[0].shape[0]
     if any(c.shape[0] != n for c in cols):
         raise ValueError("all fields must have the same length")
@@ -800,6 +815,7 @@ def dedup_blocked_stream(
     oversize: str = "keep",
     shard: Optional[int] = None,
     num_shards: int = 1,
+    preprocess=None,
 ):
     """Restartable streaming form of dedup_blocked for corpora whose blocked
     pair count runs to 10⁸+: yields (chunk_id, i, j, scores) per pair chunk
@@ -814,6 +830,7 @@ def dedup_blocked_stream(
     dedup_blocked's rows (dedup_blocked additionally globally sorts)."""
     (measure,) = resolve_measures(measure)
     cfg = config or get_config()
+    names = _maybe_pre(names, preprocess)
     a = enc.encode_column(names, pad=enc.PAD_A)
     b = enc.encode_column(names, pad=enc.PAD_B)
     keys = _keys_for(a, names, key)
@@ -846,6 +863,7 @@ def dedup_sorted_neighborhood(
     sort_key: Optional[Callable] = None,
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,
+    preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Sorted-neighborhood dedup: sort rows (lexicographically, or by
     sort_key(str) -> sortable), score each row against its `window` successors
@@ -856,6 +874,7 @@ def dedup_sorted_neighborhood(
     in the first letter breaks soundex, not sort order — and vice versa)."""
     (measure,) = resolve_measures(measure)
     cfg = config or get_config()
+    names = _maybe_pre(names, preprocess)
     a = enc.encode_column(names, pad=enc.PAD_A)
     b = enc.encode_column(names, pad=enc.PAD_B)
     valid = np.nonzero(a.validity)[0]

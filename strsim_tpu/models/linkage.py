@@ -144,6 +144,7 @@ def top_k_matches(
     query_block: int = 128,
     candidate_block: int = 2048,
     data_parallel_devices: Optional[int] = None,
+    preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (indices [Q, k] int64, scores [Q, k] f32): for each query, the
     indices of the k best-matching candidates (descending score) and their
@@ -157,6 +158,11 @@ def top_k_matches(
     collectives; see _linkage_shardings)."""
     cfg = config or get_config()
     n_dev = data_parallel_devices or cfg.data_parallel_devices or 1
+    if preprocess is not None:
+        from strsim_tpu.utils.preprocess import preprocess_column
+
+        queries = preprocess_column(queries, preprocess)
+        candidates = preprocess_column(candidates, preprocess)
     q = enc.encode_column(queries, pad=enc.PAD_A)
     c = enc.encode_column(candidates, pad=enc.PAD_B)
     width = max(q.width, c.width)
@@ -350,6 +356,7 @@ def top_k_matches_multi(
     candidate_block: int = 2048,
     exclude_index: Optional[Sequence[int]] = None,
     data_parallel_devices: Optional[int] = None,
+    preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Record-level top-k matching over several string fields.
 
@@ -381,6 +388,11 @@ def top_k_matches_multi(
     measures, weights = _normalize_fields(measures, weights, F)
     cfg = config or get_config()
     n_dev = data_parallel_devices or cfg.data_parallel_devices or 1
+    if preprocess is not None:
+        from strsim_tpu.utils.preprocess import preprocess_column
+
+        query_fields = [preprocess_column(c, preprocess) for c in query_fields]
+        candidate_fields = [preprocess_column(c, preprocess) for c in candidate_fields]
     excl = None
     if exclude_index is not None:
         excl = np.asarray(exclude_index, dtype=np.int32)
@@ -496,6 +508,7 @@ def dedup_top_k(
     query_block: int = 128,
     candidate_block: int = 2048,
     data_parallel_devices: Optional[int] = None,
+    preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Self-join deduplication: for every record, its k nearest OTHER records
     under the weighted ensemble (the trivial self-match is suppressed on
@@ -507,7 +520,7 @@ def dedup_top_k(
         fields, fields, measures=measures, weights=weights, k=k,
         missing=missing, config=config, query_block=query_block,
         candidate_block=candidate_block, exclude_index=np.arange(n),
-        data_parallel_devices=data_parallel_devices,
+        data_parallel_devices=data_parallel_devices, preprocess=preprocess,
     )
 
 
@@ -518,6 +531,7 @@ def ensemble_scores(
     weights: Optional[Sequence[float]] = None,
     missing: str = "renormalize",
     config: Optional[StrsimConfig] = None,
+    preprocess=None,
 ) -> np.ndarray:
     """Exact (f64, host-finalized) ensemble scores for ALIGNED record pairs —
     the rescoring companion to `top_k_matches_multi`: run the top-k pass on
@@ -538,6 +552,11 @@ def ensemble_scores(
             f"need matching non-empty field lists, got {F} / {len(b_fields)}"
         )
     measures, weights = _normalize_fields(measures, weights, F)
+    if preprocess is not None:
+        from strsim_tpu.utils.preprocess import preprocess_column
+
+        a_fields = [preprocess_column(c, preprocess) for c in a_fields]
+        b_fields = [preprocess_column(c, preprocess) for c in b_fields]
 
     num = den = any_valid = None
     for f in range(F):

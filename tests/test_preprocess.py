@@ -77,3 +77,35 @@ def test_strip_accents_recovers_soundex_key():
     # unpreprocessed: Ç is skipped (code E420); folded: C420 — matches "Celik"
     got = st.compute("soundex", ["Çelik"], ["Celik"], preprocess=("strip_accents",))
     assert got[0] == 1.0
+
+
+def test_preprocess_through_linkage_and_blocking():
+    """preprocess= threads through both serving paths with the same
+    equivalence contract as compute."""
+    import strsim_tpu as st
+    from strsim_tpu.utils.preprocess import preprocess_column
+
+    queries = ["JOHN  SMITH", "garcia jose"]
+    cands = ["smith john", "José García", "taylor ann", None]
+    steps = ("casefold", "strip_accents", "collapse_spaces", "token_sort")
+    # blocked top-k
+    i1, s1 = st.top_k_matches_blocked(queries, cands, "jaro_winkler", k=2,
+                                      preprocess=steps)
+    i2, s2 = st.top_k_matches_blocked(
+        preprocess_column(queries, steps), preprocess_column(cands, steps),
+        "jaro_winkler", k=2)
+    np.testing.assert_array_equal(i1, i2)
+    assert s1.tobytes() == s2.tobytes()
+    assert i1[0, 0] == 0 and s1[0, 0] == 1.0  # token order + case neutralized
+    assert i1[1, 0] == 1 and s1[1, 0] == 1.0  # accents + order neutralized
+    # brute-force f32 serving path agrees on the winner
+    i3, _ = st.top_k_matches(queries, cands, "jaro_winkler", k=1, preprocess=steps)
+    assert i3[0, 0] == 0 and i3[1, 0] == 1
+    # record dedup
+    i, j, s = st.dedup_records_blocked(
+        [["JOHN", "john x"]], measures="jaro_winkler", threshold=0.9,
+        preprocess=("casefold",))
+    assert (1, 0) not in set(zip(i.tolist(), j.tolist()))  # 'john x' != 'john'
+    i, j, s = st.dedup_blocked(["JOHN", "john"], threshold=0.99,
+                               preprocess=("casefold",))
+    assert (1, 0) in set(zip(i.tolist(), j.tolist()))
