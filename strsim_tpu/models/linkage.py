@@ -51,23 +51,26 @@ def _pad_topk(idx: np.ndarray, scores: np.ndarray, k: int):
 
 
 def _impls_for_width(
-    cfg: StrsimConfig, width: int, dtype=None
+    cfg: StrsimConfig, width: int, dtype=None, max_char=None
 ) -> Tuple[Tuple[str, str], ...]:
     """Width/dtype-based production kernel selection, same policy as the
     batch pipeline (Pallas VMEM-resident scans on TPU at supported widths —
-    incl. the fused jaro kernel on int8/ASCII tiles — the measured-fastest
-    XLA variant otherwise)."""
+    incl. the fused jaro kernel with a dtype/max_char-matched compaction slot
+    width — the measured-fastest XLA variant otherwise)."""
     from strsim_tpu.models.pipeline import _impls_for
 
-    return _impls_for(cfg, width, dtype)
+    return _impls_for(cfg, width, dtype, max_char)
 
 
 def _tile_dtype(q: enc.EncodedColumn, c: enc.EncodedColumn):
-    """int8 staging when BOTH sides are native-proven ASCII (4x less device
-    staging and unlocks the byte-packed fused jaro kernel), int32 otherwise."""
+    """(dtype, max_char) for staging: int8 when BOTH sides are native-proven
+    ASCII (4x less device staging and the byte-packed fused jaro kernel),
+    int32 otherwise with the columns' max codepoint retained so the fused
+    jaro kernel can pick its compaction slot width (pipeline._jaro_impl_for)."""
     if q.codes.dtype == np.int8 and c.codes.dtype == np.int8:
-        return np.int8
-    return np.int32
+        return np.int8, None
+    mx = max(int(q.codes.max(initial=0)), int(c.codes.max(initial=0)))
+    return np.int32, mx
 
 
 def _linkage_shardings(n_dev: int):
@@ -184,7 +187,7 @@ def top_k_matches(
         qb = -(-qb // n_dev) * n_dev
 
     # stage candidate blocks on device ONCE (shared across query blocks)
-    dtype = _tile_dtype(q, c)
+    dtype, max_char = _tile_dtype(q, c)
     nb = max(1, -(-C // cb))
     c_codes = np.full((nb, cb, width), enc.PAD_B, dtype=dtype)
     c_lens = np.zeros((nb, cb), dtype=np.int32)
@@ -201,7 +204,9 @@ def top_k_matches(
     dev_cv = jnp.asarray(c_valid)
     dev_off = jnp.asarray(c_offsets)
 
-    scorer = _scan_scorer(measure, k_eff, _impls_for_width(cfg, width, dtype), n_dev)
+    scorer = _scan_scorer(
+        measure, k_eff, _impls_for_width(cfg, width, dtype, max_char), n_dev
+    )
     best_scores = np.full((Q, k_eff), -np.inf, dtype=np.float32)
     best_idx = np.full((Q, k_eff), -1, dtype=np.int64)
 
@@ -423,9 +428,9 @@ def top_k_matches_multi(
     nb = max(1, -(-C // cb))
 
     # stage candidate blocks on device ONCE per field (shared across queries)
-    field_dtypes = [_tile_dtype(q, c) for q, c in zip(qs, cs)]
+    field_dtypes = [_tile_dtype(q, c) for q, c in zip(qs, cs)]  # (dtype, max_char)
     dev_c, dev_cl, dev_cv = [], [], []
-    for c, fdt in zip(cs, field_dtypes):
+    for c, (fdt, _) in zip(cs, field_dtypes):
         width = c.codes.shape[1]
         codes = np.full((nb, cb, width), enc.PAD_B, dtype=fdt)
         lens = np.zeros((nb, cb), dtype=np.int32)
@@ -442,8 +447,8 @@ def top_k_matches_multi(
     dev_off = jnp.asarray(np.arange(nb, dtype=np.int32) * cb)
 
     field_impls = tuple(
-        _impls_for_width(cfg, c.codes.shape[1], fdt)
-        for c, fdt in zip(cs, field_dtypes)
+        _impls_for_width(cfg, c.codes.shape[1], fdt, fmx)
+        for c, (fdt, fmx) in zip(cs, field_dtypes)
     )
     scorer = _scan_scorer_multi(measures, weights, k_eff, missing,
                                 exclude=excl is not None, impls=field_impls,
@@ -455,7 +460,7 @@ def top_k_matches_multi(
         q1 = min(q0 + qb, Q)
         nq = q1 - q0
         qc, ql, qv = [], [], []
-        for q, fdt in zip(qs, field_dtypes):
+        for q, (fdt, _) in zip(qs, field_dtypes):
             width = q.codes.shape[1]
             codes = np.full((qb, width), enc.PAD_A, dtype=fdt)
             codes[:nq] = q.codes[q0:q1]

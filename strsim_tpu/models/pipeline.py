@@ -89,23 +89,32 @@ def _lev_impl_for(cfg: StrsimConfig, width: int) -> str:
     return impl
 
 
-def _jaro_impl_for(cfg: StrsimConfig, width: int, dtype=None) -> str:
+def _jaro_impl_for(cfg: StrsimConfig, width: int, dtype=None, max_char=None) -> str:
     """Resolve the effective jaro kernel. "auto" (default) picks the fused
-    Pallas kernel (in-kernel EqB + VMEM greedy scan + byte-compacted
-    transposition, ops/jaro_pallas_scan.py) on TPU for int8/ASCII buckets at
-    supported widths — it byte-packs matched chars, so wide-codepoint (int32)
-    buckets stay on the XLA bitmask kernel, as do non-TPU backends."""
+    Pallas kernel (in-kernel EqB + VMEM greedy scan + slot-compacted
+    transposition, ops/jaro_pallas_scan.py) on TPU at supported widths:
+    byte compaction ("pallas_scan") for int8/ASCII buckets at every ladder
+    width, halfword compaction ("pallas_scan_h") for int32 buckets whose max
+    codepoint fits 16 bits (the whole BMP — `max_char` comes from the same
+    bucket scan that decides tile narrowing) at widths <= 95, one-char-per-
+    word ("pallas_scan_f") for astral codepoints at widths <= 63. Measured
+    on v5e (tools/ab_jaro_unicode.py, BENCH_UNICODE.json): pack=2 beats the
+    XLA bitmask kernel +22..99% at w7..95 and ties at w127; pack=1 wins
+    +57..69% at w7..63 and loses 1.7-3.5x beyond (the 4x compaction state
+    shrinks wide blocks below the loop's efficiency point) — hence the
+    width cutoffs. int32 buckets past the cutoffs, buckets with unknown
+    max_char, and non-TPU backends stay on the XLA bitmask kernel."""
     impl = cfg.jaro_impl
     if impl == "auto":
         from strsim_tpu.ops.jaro_pallas_scan import supports_width
 
-        if (
-            supports_width(width)
-            and dtype is not None
-            and np.dtype(dtype).itemsize == 1
-            and jax.default_backend() == "tpu"
-        ):
-            return "pallas_scan"
+        if supports_width(width) and jax.default_backend() == "tpu":
+            if dtype is not None and np.dtype(dtype).itemsize == 1:
+                return "pallas_scan"
+            if max_char is not None and max_char < (1 << 16) and width <= 95:
+                return "pallas_scan_h"
+            if max_char is not None and width <= 63:
+                return "pallas_scan_f"
         return "bitmask"
     return impl
 
@@ -126,11 +135,11 @@ def _osa_impl_for(cfg: StrsimConfig, width: int) -> str:
 
 
 def _impls_for(
-    cfg: StrsimConfig, width: int, dtype=None
+    cfg: StrsimConfig, width: int, dtype=None, max_char=None
 ) -> Tuple[Tuple[str, str], ...]:
     return (
         ("levenshtein", _lev_impl_for(cfg, width)),
-        ("jaro", _jaro_impl_for(cfg, width, dtype)),
+        ("jaro", _jaro_impl_for(cfg, width, dtype, max_char)),
         ("multiset", _multiset_impl_for(cfg, width, dtype)),
         ("osa", _osa_impl_for(cfg, width)),
     )
@@ -337,21 +346,15 @@ def compute_scores(
         buckets_present = [int(w) for w in np.unique(bucket_of) if w > 0]
         shapes = []
         bucket_dtypes: Dict[int, object] = {}
+        bucket_maxchar: Dict[int, object] = {}
         for w in buckets_present:
             in_bucket = idx[bucket_of == w]
             n_w = in_bucket.size
-            dtype = np.int32
-            if cfg.narrow_tiles and n_w:
-                if a.codes.dtype == np.int8 and b.codes.dtype == np.int8:
-                    dtype = np.int8  # whole column is ASCII-encoded int8
-                elif (
-                    a.codes[in_bucket, :w].max(initial=0) < 128
-                    and b.codes[in_bucket, :w].max(initial=0) < 128
-                ):
-                    dtype = np.int8
+            dtype, max_char = _narrow_bucket(cfg, a, b, in_bucket, w)
             bucket_dtypes[w] = dtype
+            bucket_maxchar[w] = max_char
             blk = min(_block_rows(w, cfg, measures, dtype), _round_batch(n_w, cfg))
-            shapes.append((w, blk, dtype, _chunks_for(n_w, blk)))
+            shapes.append((w, blk, dtype, _chunks_for(n_w, blk), max_char))
         prewarm_shapes(measures, shapes, cfg)
 
         # two passes: dispatch every bucket's uploads+kernels first (device
@@ -372,6 +375,7 @@ def compute_scores(
                     _device_dispatch(
                         measures, a, b, la, lb, sel, int(bucket_w), cfg, metrics,
                         dtype=bucket_dtypes.get(int(bucket_w)),
+                        max_char=bucket_maxchar.get(int(bucket_w)),
                     )
                 )
         with annotate("strsim.collect_finalize"):
@@ -503,15 +507,36 @@ def prewarm_shapes(measures, widths_blocks_dtypes, cfg=None) -> None:
     for spec in widths_blocks_dtypes:
         width, block, dtype = spec[:3]
         chunks = spec[3] if len(spec) > 3 else 1
-        impls = _impls_for(cfg, width, dtype)
+        max_char = spec[4] if len(spec) > 4 else None
+        impls = _impls_for(cfg, width, dtype, max_char)
         kernel, key = _kernel_and_key(measures, impls, block, width, dtype, cfg, chunks)
         prewarm(key, kernel, _abstract_args(block, width, dtype, chunks))
 
 
-def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtype=None):
+def _narrow_bucket(cfg: StrsimConfig, a, b, sel, width: int):
+    """Per-bucket tile (dtype, max_char): int8 when the bucket is pure ASCII
+    (4x less transfer), else int32 with the bucket's max codepoint retained
+    so _jaro_impl_for can pick the fused kernel's compaction slot width.
+    max_char is None when no tile scan happened (narrowing off, empty bucket,
+    or a column already encoded int8 — then the dtype itself proves ASCII)."""
+    if not (cfg.narrow_tiles and sel.size):
+        return np.int32, None
+    if a.codes.dtype == np.int8 and b.codes.dtype == np.int8:
+        return np.int8, None  # whole column is ASCII-encoded int8
+    mx = max(
+        int(a.codes[sel, :width].max(initial=0)),
+        int(b.codes[sel, :width].max(initial=0)),
+    )
+    return (np.int8 if mx < 128 else np.int32), mx
+
+
+def _device_dispatch(
+    measures, a, b, la, lb, sel, width, cfg, metrics=None, dtype=None, max_char=None
+):
     """Stage one bucket: pack, upload, dispatch kernels. Returns a pending
-    record for _device_collect (or a host-fallback marker). `dtype` is the
-    bucket's tile dtype decided at prewarm time (None → decide here)."""
+    record for _device_collect (or a host-fallback marker). `dtype`/`max_char`
+    are the bucket's tile dtype and max codepoint decided at prewarm time
+    (dtype None → decide here)."""
     from strsim_tpu.utils.metrics import timer
 
     # order rows by combined length so blocks are length-homogeneous: the
@@ -523,26 +548,18 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
     lens_b = lb[sel]
 
     if dtype is None:
-        dtype = np.int32
-        if cfg.narrow_tiles and sel.size:
-            if a.codes.dtype == np.int8 and b.codes.dtype == np.int8:
-                dtype = np.int8  # column already encoded as pure-ASCII int8
-            elif (
-                a.codes[sel, :width].max(initial=0) < 128
-                and b.codes[sel, :width].max(initial=0) < 128
-            ):
-                dtype = np.int8  # pure-ASCII bucket: 4x less transfer
+        dtype, max_char = _narrow_bucket(cfg, a, b, sel, width)
 
     block = min(_block_rows(width, cfg, measures, dtype), _round_batch(sel.size, cfg))
     chunks = _chunks_for(sel.size, block)
-    impls = _impls_for(cfg, width, dtype)
+    impls = _impls_for(cfg, width, dtype, max_char)
     try:
         kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
     except Exception:
         # compile ERROR (e.g. a flaky terminal-side Mosaic service for the
         # pallas kernels) — distinct from a deadline miss; degrade below
         kernel = None
-    if kernel is None and any(v in ("pallas_scan", "pallas_hist") for _, v in impls):
+    if kernel is None and any(v.startswith("pallas_") for _, v in impls):
         # Pallas kernel unavailable: same-contract XLA kernel before giving
         # up on the device (host fallback is exact but far slower)
         xla_equiv = {
@@ -552,7 +569,7 @@ def _device_dispatch(measures, a, b, la, lb, sel, width, cfg, metrics=None, dtyp
             "osa": "myers",
         }
         impls = tuple(
-            (k, xla_equiv[k] if v in ("pallas_scan", "pallas_hist") else v)
+            (k, xla_equiv[k] if v.startswith("pallas_") else v)
             for k, v in impls
         )
         try:

@@ -35,9 +35,15 @@ unrolled (L static per bucket):
     Unwritten slots are 0 on BOTH sides (both sequences hold exactly m
     entries), so no rank mask is needed.
 
-Byte packing requires every codepoint to fit one byte, so the pipeline routes
-only int8 (pure-ASCII) tiles here — the XLA bitmask kernel keeps serving
-int32 (non-ASCII) buckets and non-TPU backends. Off-TPU the identical kernel
+The compaction slot width is parametric (`pack` = chars per i32 word):
+pack=4 (bytes) serves int8/pure-ASCII tiles; pack=2 (halfwords) serves int32
+buckets whose codepoints all fit 16 bits (the whole BMP — the pipeline
+computes the bucket max during tile narrowing and routes here); pack=1 (one
+char per word) serves astral-plane codepoints. Equality of packed slots is
+equality of chars whenever every char fits the slot, so all three are exact;
+only the compaction/t-count cost scales (WP = ceil(L/pack) words), and the
+per-step cost is dominated by the 3-ops-per-position EqB build either way.
+Non-TPU backends keep the XLA bitmask kernel. Off-TPU the identical kernel
 runs under the Pallas interpreter (exactness tests use this).
 
 Exactness: every statistic stays integer; rows with an empty side yield
@@ -92,12 +98,18 @@ def _satmask(k: Array) -> Array:
     return jnp.where(k >= _WORD, _ALL_ONES, jnp.where(k <= 0, np.uint32(0), base))
 
 
-def _kernel(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
-    """a_ref/b_ref: [1, L, 8, BR8] i32 char tiles (values < 256; PAD past
-    each length); la/lb/m/t: [1, 8, BR8] i32."""
+def _pack_params(pack: int) -> Tuple[int, int]:
+    """(log2 pack, log2 slot bits) for `pack` compacted chars per i32 word."""
+    return {4: (2, 3), 2: (1, 4), 1: (0, 5)}[pack]
+
+
+def _kernel(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int, pack: int):
+    """a_ref/b_ref: [1, L, 8, BR8] i32 char tiles (values must fit a 32/pack-
+    bit compaction slot; PAD past each length); la/lb/m/t: [1, 8, BR8] i32."""
     u32, i32 = jnp.uint32, jnp.int32
     W = -(-L // _WORD)   # packed flag words
-    W4 = -(-L // 4)      # byte-packed sequence words (4 chars per i32)
+    WP = -(-L // pack)   # compacted sequence words (pack chars per i32)
+    LOG_PACK, LOG_BITS = _pack_params(pack)
     la = la_ref[0]
     lb = lb_ref[0]
     shape = la.shape
@@ -108,7 +120,7 @@ def _kernel(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
     b_rows = [b_ref[0, j] for j in range(L)]
 
     flag = [jnp.zeros(shape, u32) for _ in range(W)]
-    seq_a = [jnp.zeros(shape, i32) for _ in range(W4)]
+    seq_a = [jnp.zeros(shape, i32) for _ in range(WP)]
     m = jnp.zeros(shape, i32)
 
     for i in range(L):  # static unroll: L is the bucket width
@@ -140,55 +152,73 @@ def _kernel(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
             flag[w] = flag[w] | lsb
             found = found | (cand != 0)
 
-        # rank-compact the matched a-char: byte slot m of seq_a (matched
+        # rank-compact the matched a-char: slot m of seq_a (matched
         # a-chars arrive in increasing i — already rank order)
-        val = jnp.where(found, a_i, 0) << ((m & 3) << 3)
-        mw = m >> 2
-        for w4 in range(W4):
-            seq_a[w4] = seq_a[w4] | jnp.where(mw == w4, val, 0)
+        v = jnp.where(found, a_i, 0)
+        val = v if pack == 1 else v << ((m & (pack - 1)) << LOG_BITS)
+        mw = m if pack == 1 else m >> LOG_PACK
+        for wp in range(WP):
+            seq_a[wp] = seq_a[wp] | jnp.where(mw == wp, val, 0)
         m = m + found.astype(i32)
 
     # rank-compact the flagged b-chars (increasing j = rank order,
-    # strsim.rs:227-232), then count unequal byte pairs = t
-    seq_b = [jnp.zeros(shape, i32) for _ in range(W4)]
+    # strsim.rs:227-232), then count unequal slot pairs = t
+    seq_b = [jnp.zeros(shape, i32) for _ in range(WP)]
     rb = jnp.zeros(shape, i32)
     for j in range(L):
         fb = (flag[j // _WORD] >> np.uint32(j % _WORD)) & np.uint32(1)
         fbit = fb != 0
-        val = jnp.where(fbit, b_rows[j], 0) << ((rb & 3) << 3)
-        rw = rb >> 2
-        for w4 in range(W4):
-            seq_b[w4] = seq_b[w4] | jnp.where(rw == w4, val, 0)
+        v = jnp.where(fbit, b_rows[j], 0)
+        val = v if pack == 1 else v << ((rb & (pack - 1)) << LOG_BITS)
+        rw = rb if pack == 1 else rb >> LOG_PACK
+        for wp in range(WP):
+            seq_b[wp] = seq_b[wp] | jnp.where(rw == wp, val, 0)
         rb = rb + fbit.astype(i32)
 
-    t = jnp.zeros(shape, i32)
-    for w4 in range(W4):
-        x = seq_a[w4] ^ seq_b[w4]
-        for byte in range(4):
-            t = t + (((x >> (8 * byte)) & 255) != 0).astype(i32)
+    t = _count_unequal_slots(seq_a, seq_b, pack, shape)
 
     m_ref[0] = m
     t_ref[0] = t
 
 
-def _kernel_wide(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
+def _count_unequal_slots(seq_a, seq_b, pack: int, shape) -> Array:
+    """t = number of compaction slots where the two rank-ordered matched-char
+    sequences differ (strsim.rs:233-236). Unwritten slots are 0 on both sides
+    (both sequences hold exactly m entries), so no rank mask is needed; slot
+    equality == char equality because every char fits its slot."""
+    i32 = jnp.int32
+    bits = 32 // pack
+    mask = (1 << bits) - 1
+    t = jnp.zeros(shape, i32)
+    for wp in range(len(seq_a)):
+        x = seq_a[wp] ^ seq_b[wp]
+        if pack == 1:
+            t = t + (x != 0).astype(i32)
+        else:
+            for s in range(pack):
+                t = t + (((x >> (bits * s)) & mask) != 0).astype(i32)
+    return t
+
+
+def _kernel_wide(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int, pack: int):
     """Wide-bucket variant (64 < L <= 512): identical fused design to
     _kernel, but the scan over a-positions and the b-side compaction pass
     are lax.fori_loops with stacked carried state (flag words [W, ...],
-    byte-compacted sequences [W4, ...]), so the compiled body is
+    slot-compacted sequences [WP, ...]), so the compiled body is
     O(3L + 20W + L/2) ops instead of an L-step unroll. Dynamic trip counts
     (max over the block of the reference's scan bounds) let short blocks in
     a wide bucket stop early."""
     u32, i32 = jnp.uint32, jnp.int32
     W = -(-L // _WORD)
-    W4 = -(-L // 4)
+    WP = -(-L // pack)
+    LOG_PACK, LOG_BITS = _pack_params(pack)
     la = la_ref[0]
     lb = lb_ref[0]
     shape = la.shape
     bound = jnp.maximum(la, lb) // 2 - 1
 
     flag0 = jnp.zeros((W,) + shape, u32)
-    seqa0 = jnp.zeros((W4,) + shape, i32)
+    seqa0 = jnp.zeros((WP,) + shape, i32)
     m0 = jnp.zeros(shape, i32)
 
     def scan_body(i, state):
@@ -212,10 +242,11 @@ def _kernel_wide(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
             new_flag.append(flag[w] | lsb)
             found = found | (cand != 0)
         flag = jnp.stack(new_flag)
-        val = jnp.where(found, a_i, 0) << ((m & 3) << 3)
-        mw = m >> 2
-        ww4 = lax.broadcasted_iota(i32, (W4,) + shape, 0)
-        seq_a = seq_a | jnp.where(ww4 == mw[None], val[None], 0)
+        v = jnp.where(found, a_i, 0)
+        val = v if pack == 1 else v << ((m & (pack - 1)) << LOG_BITS)
+        mw = m if pack == 1 else m >> LOG_PACK
+        wwp = lax.broadcasted_iota(i32, (WP,) + shape, 0)
+        seq_a = seq_a | jnp.where(wwp == mw[None], val[None], 0)
         m = m + found.astype(i32)
         return flag, seq_a, m
 
@@ -230,24 +261,21 @@ def _kernel_wide(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int):
         for w in range(W):
             fw = jnp.where(jw == w, flag[w], fw)
         fbit = ((fw >> jb) & 1) != 0
-        val = jnp.where(fbit, b_ref[0, j], 0) << ((rb & 3) << 3)
-        rw = rb >> 2
-        ww4 = lax.broadcasted_iota(i32, (W4,) + shape, 0)
-        seq_b = seq_b | jnp.where(ww4 == rw[None], val[None], 0)
+        v = jnp.where(fbit, b_ref[0, j], 0)
+        val = v if pack == 1 else v << ((rb & (pack - 1)) << LOG_BITS)
+        rw = rb if pack == 1 else rb >> LOG_PACK
+        wwp = lax.broadcasted_iota(i32, (WP,) + shape, 0)
+        seq_b = seq_b | jnp.where(wwp == rw[None], val[None], 0)
         rb = rb + fbit.astype(i32)
         return seq_b, rb
 
     j_max = jnp.minimum(jnp.max(lb), L)
     seq_b, _ = lax.fori_loop(
         0, j_max, compact_body,
-        (jnp.zeros((W4,) + shape, i32), jnp.zeros(shape, i32)),
+        (jnp.zeros((WP,) + shape, i32), jnp.zeros(shape, i32)),
     )
 
-    t = jnp.zeros(shape, i32)
-    for w4 in range(W4):
-        x = seq_a[w4] ^ seq_b[w4]
-        for byte in range(4):
-            t = t + (((x >> (8 * byte)) & 255) != 0).astype(i32)
+    t = _count_unequal_slots(seq_a, seq_b, pack, shape)
     m_ref[0] = m
     t_ref[0] = t
 
@@ -259,11 +287,13 @@ def _block_rows_for(B: int, block_rows: int) -> int:
     return br
 
 
-def _wide_block_rows(L: int) -> int:
+def _wide_block_rows(L: int, pack: int = 4) -> int:
     """Measured winners (tools/ab_jaro_wide.py): 2048 rows at w95, 1024
     beyond (w511 at 2048 exceeds VMEM: two [L, BR] i32 tiles double-buffered
-    + the [W4, BR] sequence state)."""
-    return 2048 if L <= 96 else 1024
+    + the [WP, BR] sequence state). Wider compaction slots (pack < 4) grow
+    the sequence state 2x/4x, so halve rows per step below pack=4."""
+    base = 2048 if L <= 96 else 1024
+    return max(256, base // (4 // pack))
 
 
 def jaro_match_stats_pallas_scan(
@@ -274,33 +304,51 @@ def jaro_match_stats_pallas_scan(
     *,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     interpret: Optional[bool] = None,
+    pack: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """(m, t): greedy match count and raw transposition count — drop-in for
-    ops.jaro_bitmask.jaro_match_stats_bitmask on byte-width tiles.
+    ops.jaro_bitmask.jaro_match_stats_bitmask.
 
-    a, b: [B, L] padded codepoint tiles whose values fit one byte (the
-    pipeline routes only int8/pure-ASCII buckets here; a wider dtype is a
-    contract violation and raises). len_a, len_b: [B] int32. Returns two [B]
-    int32 arrays. interpret=None auto-selects the Pallas interpreter on
-    non-TPU backends.
+    a, b: [B, L] padded codepoint tiles. `pack` = compacted chars per i32
+    transposition word; every codepoint must fit a 32/pack-bit slot:
+    pack=4 for int8/pure-ASCII tiles (default when the dtype is 8-bit),
+    pack=2 when all codepoints < 2**16 (the BMP — the caller asserts this;
+    the pipeline computes the bucket max while narrowing tiles), pack=1 for
+    arbitrary codepoints. len_a, len_b: [B] int32. Returns two [B] int32
+    arrays. interpret=None auto-selects the Pallas interpreter on non-TPU
+    backends.
     """
     B, L = a.shape
     if not supports_width(L):
         raise ValueError(
             f"jaro pallas_scan requires width <= {_MAX_WIDTH_WIDE}, got {L}"
         )
-    if a.dtype.itemsize != 1 or b.dtype.itemsize != 1:
+    if pack is None:
+        if a.dtype.itemsize != 1 or b.dtype.itemsize != 1:
+            raise ValueError(
+                "jaro pallas_scan compacts matched chars into 32/pack-bit "
+                f"slots: tiles of dtype {a.dtype}/{b.dtype} need an explicit "
+                "pack (2 if all codepoints < 2**16 else 1); only 8-bit tiles "
+                "default to pack=4"
+            )
+        pack = 4
+    if pack not in (1, 2, 4):
+        raise ValueError(f"pack must be 1, 2 or 4, got {pack}")
+    if pack == 4 and (a.dtype.itemsize != 1 or b.dtype.itemsize != 1):
         raise ValueError(
-            "jaro pallas_scan byte-packs matched chars: tiles must be an "
-            f"8-bit dtype (got {a.dtype}/{b.dtype}); use the bitmask kernel "
-            "for wide codepoints"
+            f"pack=4 byte-packs matched chars: tiles must be an 8-bit dtype "
+            f"(got {a.dtype}/{b.dtype})"
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     i32 = jnp.int32
     wide = L > _MAX_WIDTH
     if wide:
-        block_rows = min(block_rows, _wide_block_rows(L))
+        block_rows = min(block_rows, _wide_block_rows(L, pack))
+    elif pack < 4:
+        # the unrolled kernel's live sequence state is 2*ceil(L/pack) words
+        # per lane: keep the whole program VMEM-resident at wider slots
+        block_rows = min(block_rows, 4096 if pack == 2 else 2048)
 
     pad_rows = 0
     if B % _SUB:
@@ -333,7 +381,7 @@ def jaro_match_stats_pallas_scan(
     )
 
     m3, t3 = pl.pallas_call(
-        functools.partial(_kernel_wide if wide else _kernel, L=L),
+        functools.partial(_kernel_wide if wide else _kernel, L=L, pack=pack),
         out_shape=(
             jax.ShapeDtypeStruct((G, _SUB, BR8), i32),
             jax.ShapeDtypeStruct((G, _SUB, BR8), i32),

@@ -366,6 +366,23 @@ def compute_stats(
                 out["jaro_m"], out["jaro_t"] = jps.jaro_match_stats_pallas_scan(
                     a, b, len_a, len_b
                 )
+        elif jaro_impl in ("pallas_scan_h", "pallas_scan_f"):
+            # fused kernel on wide-codepoint (int32) tiles: halfword
+            # compaction when the bucket's max codepoint fits 16 bits
+            # (pipeline._narrow_bucket measured it), full-word beyond
+            from strsim_tpu.ops import jaro_pallas_scan as jps
+
+            if not jps.supports_width(a.shape[1]):
+                from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+
+                out["jaro_m"], out["jaro_t"] = jaro_match_stats_bitmask(
+                    a, b, len_a, len_b
+                )
+            else:
+                out["jaro_m"], out["jaro_t"] = jps.jaro_match_stats_pallas_scan(
+                    a, b, len_a, len_b,
+                    pack=2 if jaro_impl == "pallas_scan_h" else 1,
+                )
         elif jaro_impl == "pallas":
             from strsim_tpu.ops.jaro_pallas import jaro_match_stats_pallas
 

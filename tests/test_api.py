@@ -223,3 +223,45 @@ def test_pallas_compile_error_degrades_to_xla_kernel(monkeypatch):
 
     for fut in list(compile_guard._futures.values()):
         fut.event.wait(120)
+
+
+def test_jaro_impl_routing_by_dtype_and_max_char(monkeypatch):
+    """auto routing of the fused jaro kernel: byte compaction for int8 tiles,
+    halfword for BMP int32 buckets, full-word for astral, bitmask when the
+    bucket max is unknown or the backend is not TPU."""
+    from strsim_tpu.models import pipeline as pp
+
+    cfg = st.get_config()
+    assert cfg.jaro_impl == "auto"
+    monkeypatch.setattr(pp.jax, "default_backend", lambda: "tpu")
+    assert pp._jaro_impl_for(cfg, 15, np.int8) == "pallas_scan"
+    assert pp._jaro_impl_for(cfg, 15, np.int32, max_char=0x4F60) == "pallas_scan_h"
+    assert pp._jaro_impl_for(cfg, 15, np.int32, max_char=0x1F600) == "pallas_scan_f"
+    assert pp._jaro_impl_for(cfg, 15, np.int32) == "bitmask"  # unknown max
+    assert pp._jaro_impl_for(cfg, 640, np.int32, max_char=1000) == "bitmask"
+    # measured width cutoffs (BENCH_UNICODE.json): pack=2 <= 95, pack=1 <= 63
+    assert pp._jaro_impl_for(cfg, 95, np.int32, max_char=0x4F60) == "pallas_scan_h"
+    assert pp._jaro_impl_for(cfg, 127, np.int32, max_char=0x4F60) == "bitmask"
+    assert pp._jaro_impl_for(cfg, 63, np.int32, max_char=0x1F600) == "pallas_scan_f"
+    assert pp._jaro_impl_for(cfg, 95, np.int32, max_char=0x1F600) == "bitmask"
+    monkeypatch.setattr(pp.jax, "default_backend", lambda: "cpu")
+    assert pp._jaro_impl_for(cfg, 15, np.int8) == "bitmask"
+
+
+def test_narrow_bucket_reports_max_char():
+    """_narrow_bucket: int8 + no scan for pure-ASCII columns, int32 + the
+    bucket's max codepoint for unicode buckets (feeds jaro pack selection)."""
+    from strsim_tpu.models import pipeline as pp
+    from strsim_tpu.utils import encode as enc
+
+    cfg = st.get_config()
+    a = enc.encode_column(["Мюллер", "你好"], pad=enc.PAD_A)
+    b = enc.encode_column(["Миллер", "你woof"], pad=enc.PAD_B, width=a.width)
+    sel = np.arange(2)
+    dtype, mx = pp._narrow_bucket(cfg, a, b, sel, a.width)
+    assert dtype == np.int32 and mx == max(max(map(ord, "Мюллер你好")), ord("w"))
+
+    a8 = enc.encode_column(["abc", "def"], pad=enc.PAD_A)
+    b8 = enc.encode_column(["abd", "dxf"], pad=enc.PAD_B, width=a8.width)
+    dtype8, mx8 = pp._narrow_bucket(cfg, a8, b8, sel, a8.width)
+    assert dtype8 == np.int8

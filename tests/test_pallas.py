@@ -324,6 +324,83 @@ def test_pallas_multiset_hist_rejects_int32():
         )
 
 
+def _unicode_pairs(width, seed, alphabet):
+    """Dense-match unicode pairs over a tight alphabet, incl. empty sides,
+    equal pairs, and len-1 pairs — the same greedy-tie stress as the ASCII
+    fuzz, but with codepoints that cannot byte-pack."""
+    rng = random.Random(seed)
+    pairs = []
+    for i in range(203):
+        la = rng.randrange(0, width + 1)
+        lb = rng.randrange(0, width + 1)
+        a = "".join(rng.choice(alphabet) for _ in range(la))
+        b = "".join(rng.choice(alphabet) for _ in range(lb))
+        if i % 11 == 0:
+            b = a
+        pairs.append((a, b))
+    return pairs
+
+
+@pytest.mark.parametrize("width", [7, 15])
+def test_pallas_jaro_fused_unicode_pack2_matches_bitmask(width):
+    """Halfword compaction (pack=2) on int32 BMP tiles vs the XLA bitmask
+    kernel — bit-exact m/t, incl. codepoints near the 16-bit slot boundary."""
+    from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+    from strsim_tpu.ops.jaro_pallas_scan import jaro_match_stats_pallas_scan
+
+    # Cyrillic + CJK + U+FFFD: all BMP, some above 0x7FFF (sign bit of the
+    # packed halfword) to catch arithmetic-shift bugs in the t-count
+    pairs = _unicode_pairs(width, seed=width * 17, alphabet="аб你好�")
+    ca, cb, la, lb = _tiles(pairs, width=width)
+    assert ca.dtype == jnp.int32
+    m1, t1 = jaro_match_stats_pallas_scan(ca, cb, la, lb, pack=2, interpret=True)
+    m0, t0 = jaro_match_stats_bitmask(ca, cb, la, lb)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_pallas_jaro_fused_unicode_pack1_matches_bitmask():
+    """Full-word compaction (pack=1) with astral-plane codepoints (emoji are
+    > 0xFFFF, so halfword slots would alias them)."""
+    from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+    from strsim_tpu.ops.jaro_pallas_scan import jaro_match_stats_pallas_scan
+
+    pairs = _unicode_pairs(15, seed=31, alphabet="😀😁б\U0010FFFDx")
+    ca, cb, la, lb = _tiles(pairs, width=15)
+    assert ca.dtype == jnp.int32
+    m1, t1 = jaro_match_stats_pallas_scan(ca, cb, la, lb, pack=1, interpret=True)
+    m0, t0 = jaro_match_stats_bitmask(ca, cb, la, lb)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_pallas_jaro_wide_unicode_pack2_matches_bitmask():
+    """fori_loop wide fused jaro on int32 BMP tiles (pack=2) vs the XLA
+    bitmask kernel."""
+    from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
+    from strsim_tpu.ops.jaro_pallas_scan import jaro_match_stats_pallas_scan
+
+    width = 95
+    pairs = _unicode_pairs(width, seed=width, alphabet="аб你�")
+    ca, cb, la, lb = _tiles(pairs, width=width)
+    assert ca.dtype == jnp.int32
+    m1, t1 = jaro_match_stats_pallas_scan(ca, cb, la, lb, pack=2, interpret=True)
+    m0, t0 = jaro_match_stats_bitmask(ca, cb, la, lb)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_pallas_jaro_fused_pack_contract():
+    from strsim_tpu.ops.jaro_pallas_scan import jaro_match_stats_pallas_scan
+
+    ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=8)
+    ca32, cb32 = ca.astype(jnp.int32), cb.astype(jnp.int32)
+    with pytest.raises(ValueError):  # pack=4 demands 8-bit tiles
+        jaro_match_stats_pallas_scan(ca32, cb32, la, lb, pack=4, interpret=True)
+    with pytest.raises(ValueError):  # only 1/2/4 are slot widths
+        jaro_match_stats_pallas_scan(ca32, cb32, la, lb, pack=3, interpret=True)
+
+
 def test_pallas_jaro_fused_rejects_beyond_ladder_and_int32():
     from strsim_tpu.ops.jaro_pallas_scan import (
         jaro_match_stats_pallas_scan,
