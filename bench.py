@@ -11,17 +11,35 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
 and writes BENCH_DETAILS.json with per-measure numbers and parity checks.
 
-Robustness: each measure runs in a worker subprocess with a timeout + retry —
-the TPU remote-compile tunnel can hang individual requests; the persistent XLA
-compile cache makes retries incremental. Workers are serialized (one TPU
-client at a time).
+Robustness contract (the whole run must fit a driver `timeout` and survive a
+kill at ANY point):
+  * Single process. On remote-compile TPU backends (this environment's axon
+    tunnel, PALLAS_AXON_REMOTE_COMPILE=1) every python process pays a one-time
+    terminal-side Mosaic init at its first Pallas execution — measured 65-600s
+    regardless of kernel size, while every subsequent executable compiles in
+    0.4-10s. The round-3 harness ran one subprocess per measure and paid that
+    init ~10x (BENCH_r03.json rc=124); one process pays it once.
+  * BENCH_DETAILS.json is rewritten atomically after EVERY section — a kill
+    loses at most the section in flight, never completed measurements.
+  * The headline JSON line prints as soon as the levenshtein section
+    completes, and an atexit guard prints an error headline if nothing was
+    printed by exit.
+  * A global deadline (env STRSIM_BENCH_DEADLINE_S, default 1380s) gates every
+    section: when the remaining budget can no longer fit a section, remaining
+    sections are skipped gracefully and the run exits 0 with whatever is
+    measured. Section order is five-measures-first, then fused, then the wide
+    ladder.
+  * Each device-touching step runs under a watchdog (compile_guard.
+    run_with_timeout): a wedged tunnel request skips the step instead of
+    hanging the run.
 """
 from __future__ import annotations
 
+import atexit
 import json
 import os
-import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -29,10 +47,16 @@ import numpy as np
 SEED = 20260816
 N_PAIRS = 1_000_000
 BASELINE_SUBSET = 200_000
-WORKER_TIMEOUT_S = int(os.environ.get("STRSIM_BENCH_WORKER_TIMEOUT", "900"))
-WORKER_RETRIES = 2
+DEADLINE_S = float(os.environ.get("STRSIM_BENCH_DEADLINE_S", "1380"))
+# don't start a measure section with less than this budget left: a section is
+# ~10-40s warm (post-init) + ~10s timed + ~20-60s resident measurement
+SECTION_MIN_S = float(os.environ.get("STRSIM_BENCH_SECTION_MIN_S", "120"))
 
 _T0 = time.time()
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.time() - _T0)
 
 
 def _log(msg: str) -> None:
@@ -151,22 +175,23 @@ def make_wide_pairs(n: int, seed: int = SEED + 7):
     return col_a, col_b
 
 
-def measure_resident(a, b, measures):
+def measure_resident(a, b, measures, prewarm_only: bool = False):
     """Device-resident kernel throughput (pairs/sec/chip), measured so that
     the relay tunnel cannot distort it: per bucket, the real workload's
     blocks are staged on device as [C, block, 2W] chunks and the MARGINAL
     on-device time per block is measured inside a single executable
-    (utils/devicetime.py — repetition loop with a data-dependent carry,
-    differenced across repetition counts so dispatch/fetch/relay fixed costs
-    cancel). Total device time = sum over buckets of t_block * n_blocks.
-    Host<->device transfer is benchmarked separately in the e2e figure (and
-    is relay-tunnel-bound in this environment, not chip-bound)."""
+    (utils/devicetime.py — counter-indexed loop over the staged chunks with a
+    data-dependent carry, differenced across trip counts so dispatch/fetch/
+    relay fixed costs cancel). Total device time = sum over buckets of
+    t_block * n_blocks. Host<->device transfer is benchmarked separately in
+    the e2e figure (and is relay-tunnel-bound in this environment, not
+    chip-bound)."""
     import jax.numpy as jnp
 
     from strsim_tpu.config import get_config
     from strsim_tpu.models import pipeline as pp
     from strsim_tpu.utils import encode as enc
-    from strsim_tpu.utils.devicetime import marginal_block_time
+    from strsim_tpu.utils.devicetime import marginal_block_time, prewarm_runner
 
     cfg = get_config()
     validity = a.validity & b.validity
@@ -209,6 +234,13 @@ def measure_resident(a, b, measures):
         base = pp._get_kernel(measures, pp._impls_for(cfg, width, dtype))
         dev_codes = jnp.asarray(packed.reshape(C, block, 2 * width))
         dev_lens = jnp.asarray(lens.reshape(C, block, 2))
+        if prewarm_only:
+            # compile + first-exec the runner for this exact (kernel, [C, B,
+            # 2W]) shape; the later measuring pass hits the compiled
+            # executable (the runner cache keys on the kernel object, which
+            # pipeline._kernel_cache keeps stable within the process)
+            prewarm_runner(base, dev_codes, dev_lens)
+            continue
         t_block = marginal_block_time(base, dev_codes, dev_lens)
         bucket_times[width] = {
             "blocks": C,
@@ -225,59 +257,127 @@ def measure_resident(a, b, measures):
     return n_rows / device_s, bucket_times, device_s
 
 
-def worker(measures_csv: str, out_path: str) -> None:
-    """Benchmark one measure set end-to-end; write a JSON result file."""
-    from strsim_tpu.models.pipeline import compute_scores
+ALL_MEASURES = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
+
+_DETAILS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
+
+
+def _flush(details) -> None:
+    """Atomic incremental write: a driver kill at any point leaves the last
+    completed section's results on disk (round-3 lesson — one final write at
+    the end lost every measure the timeout swallowed)."""
+    tmp = _DETAILS_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(details, f, indent=2)
+    os.replace(tmp, _DETAILS_PATH)
+
+
+_headline_printed = [False]
+
+
+def _print_headline(headline) -> None:
+    if _headline_printed[0]:
+        return
+    _headline_printed[0] = True
+    if headline is None:
+        print(json.dumps({
+            "metric": "levenshtein_pairs_per_sec_per_chip_1M_len64",
+            "value": 0.0,
+            "unit": "pairs/s",
+            "vs_baseline": 0.0,
+            "error": "levenshtein section did not complete (TPU tunnel)",
+        }), flush=True)
+        return
+    # Headline: device-resident kernel throughput (pairs/sec/chip). The e2e
+    # figure including host<->device transfer sits in BENCH_DETAILS.json —
+    # in this environment transfers ride a ~30 MB/s relay tunnel, which is an
+    # artifact of the test harness, not of the chip or the engine.
+    value = headline.get("resident_pairs_per_sec", headline.get("tpu_pairs_per_sec", 0.0))
+    vs = headline.get(
+        "resident_speedup_vs_single_core",
+        headline.get("speedup_vs_single_core", 0.0),
+    )
+    print(json.dumps({
+        "metric": "levenshtein_pairs_per_sec_per_chip_1M_len64",
+        "value": round(value, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs, 2),
+    }), flush=True)
+
+
+def _watchdog(step_name: str, fn, timeout_s: float):
+    """Run a device-touching step with a hang watchdog. Returns (ok, result);
+    on timeout the step keeps running detached (device calls cannot be
+    cancelled mid-flight) and the section is abandoned."""
+    from strsim_tpu.utils.compile_guard import run_with_timeout
+
+    ok, res = run_with_timeout(fn, max(timeout_s, 1.0))
+    if not ok:
+        _log(f"WATCHDOG: {step_name} exceeded {timeout_s:.0f}s — skipping")
+    return ok, res
+
+
+def _native_baseline(measure: str, a, b, validity, subset: int, reps: int = 3):
+    """Single-core native C++ baseline (best of `reps`: the baseline must
+    reflect the machine's uncontended speed — transient background load would
+    otherwise INFLATE the reported speedup). Returns (pairs_per_sec, scores)."""
     from strsim_tpu.native import native_compute, native_available
 
-    measures = tuple(measures_csv.split(","))
-    col_a, col_b = make_pairs(N_PAIRS)  # generation excluded from encode timing
-    t_enc = time.perf_counter()
-    from strsim_tpu.utils import encode as enc
+    if not native_available():
+        return None, None
+    base_dt = float("inf")
+    base_out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        base_out = native_compute(
+            measure,
+            a.codes[:subset], a.lengths[:subset],
+            b.codes[:subset], b.lengths[:subset],
+            validity[:subset],
+        )
+        base_dt = min(base_dt, time.perf_counter() - t0)
+    return subset / base_dt, base_out
 
-    a, b = enc.encode_pair(col_a, col_b)
-    encode_s = time.perf_counter() - t_enc
-    del col_a, col_b
-    validity = a.validity & b.validity
-    _log(
-        f"worker[{measures_csv}]: encoded {N_PAIRS:,} pairs "
-        f"(width {a.width}, {encode_s:.2f}s, dtype {a.codes.dtype})"
-    )
 
-    result = {"measures": measures_csv, "n_pairs": N_PAIRS, "encode_s": round(encode_s, 3)}
-
-    if len(measures) == 1 and native_available():
-        # best of 3: the single-core baseline must reflect the machine's
-        # uncontended speed (transient background load would otherwise
-        # INFLATE the reported speedup)
-        base_dt = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            base_out = native_compute(
-                measures[0],
-                a.codes[:BASELINE_SUBSET],
-                a.lengths[:BASELINE_SUBSET],
-                b.codes[:BASELINE_SUBSET],
-                b.lengths[:BASELINE_SUBSET],
-                validity[:BASELINE_SUBSET],
-            )
-            base_dt = min(base_dt, time.perf_counter() - t0)
-        result["baseline_single_core_pairs_per_sec"] = BASELINE_SUBSET / base_dt
-        _log(f"worker[{measures_csv}]: native {BASELINE_SUBSET / base_dt:,.0f} pairs/s (best of 3)")
-
-    # warm-up: compile the full-size (bucket, block) shapes on a big slice —
-    # one shape per bucket width, matching the timed run exactly
-    t0 = time.perf_counter()
-    compute_scores(a.slice(0, 400_000), b.slice(0, 400_000), measures)
-    _log(f"worker[{measures_csv}]: warm done ({time.perf_counter() - t0:.1f}s)")
-
+def _measure_section(measures_csv: str, a, b, validity, baseline) -> dict | None:
+    """Benchmark one measure set end-to-end, in-process. `baseline` is
+    (pairs_per_sec, scores) from _native_baseline, or (None, None)."""
+    from strsim_tpu.models.pipeline import compute_scores
     from strsim_tpu.utils.metrics import RunMetrics
+
+    measures = tuple(measures_csv.split(","))
+    result = {"measures": measures_csv, "n_pairs": a.n}
+    base_pps, base_out = baseline
+    if base_pps is not None:
+        result["baseline_single_core_pairs_per_sec"] = base_pps
+
+    # warm: one full untimed pass over the SAME inputs the timed pass uses —
+    # identical bucket/block/dtype decisions by construction, so the timed run
+    # compiles nothing (round-3's 400k-slice warm could pick different block
+    # shapes than the 1M run)
+    t0 = time.perf_counter()
+    ok, _ = _watchdog(
+        f"warm[{measures_csv}]",
+        lambda: compute_scores(a, b, measures),
+        min(max(_remaining() - 60.0, 30.0), 900.0),
+    )
+    warm_s = time.perf_counter() - t0
+    result["warm_s"] = round(warm_s, 1)
+    _log(f"worker[{measures_csv}]: warm done ({warm_s:.1f}s)")
+    if not ok:
+        return None
 
     metrics = RunMetrics()
     t0 = time.perf_counter()
-    res = compute_scores(a, b, measures, metrics=metrics)
+    ok, res = _watchdog(
+        f"timed[{measures_csv}]",
+        lambda: compute_scores(a, b, measures, metrics=metrics),
+        min(max(_remaining() - 30.0, 30.0), 300.0),
+    )
+    if not ok:
+        return None
     dt = time.perf_counter() - t0
-    result["tpu_pairs_per_sec"] = N_PAIRS / dt
+    result["tpu_pairs_per_sec"] = a.n / dt
     result["tpu_wall_s"] = dt
     result["phases"] = {
         "classify_s": round(metrics.classify_wall_s, 3),
@@ -293,11 +393,15 @@ def worker(measures_csv: str, out_path: str) -> None:
         }
         for w, bm in metrics.buckets.items()
     }
-    _log(f"worker[{measures_csv}]: tpu {N_PAIRS / dt:,.0f} pairs/s ({dt:.2f}s) phases={result['phases']}")
+    _log(f"worker[{measures_csv}]: tpu {a.n / dt:,.0f} pairs/s ({dt:.2f}s) phases={result['phases']}")
 
-    res_tuple = measure_resident(a, b, measures)
+    ok, res_tuple = _watchdog(
+        f"resident[{measures_csv}]",
+        lambda: measure_resident(a, b, measures),
+        min(max(_remaining() - 20.0, 30.0), 400.0),
+    )
     resident = None
-    if res_tuple is not None:
+    if ok and res_tuple is not None:
         resident, bucket_times, device_s = res_tuple
         result["resident_pairs_per_sec"] = resident
         result["resident_bucket_block_ms"] = bucket_times
@@ -307,85 +411,71 @@ def worker(measures_csv: str, out_path: str) -> None:
             f"(device {device_s * 1e3:.1f} ms/1M; per-bucket {bucket_times})"
         )
 
-    # per-kernel speed-of-light accounting (north star: roofline per kernel),
-    # from the RESIDENT chunk-differenced timing — the only device time the
-    # relay cannot distort — against the measured CALIBRATION.json envelope
-    try:
-        from strsim_tpu.ops.roofline import roofline_report
+        # per-kernel speed-of-light accounting (north star: roofline per
+        # kernel), from the RESIDENT chunk-differenced timing — the only
+        # device time the relay cannot distort — against the measured
+        # CALIBRATION.json envelope
+        try:
+            from strsim_tpu.ops.roofline import roofline_report
 
-        kernel_name = {
-            "levenshtein": "levenshtein",
-            "jaro": "jaro",
-            "jaro_winkler": "jaro",
-            "jaccard": "multiset",
-            "sorensen_dice": "multiset",
-        }.get(measures[0])
-        if kernel_name and len(measures) == 1 and res_tuple is not None:
-            dominant_w = max(bucket_times, key=lambda w: bucket_times[w]["rows"])
-            bt = bucket_times[dominant_w]
-            result["roofline_dominant_bucket"] = roofline_report(
-                kernel_name,
-                bt["blocks"] * bt["block_rows"],
-                dominant_w,
-                max(bt["blocks"] * bt["block_ms"] / 1e3, 1e-9),
-                itemsize=bt["itemsize"],
-            )
-    except Exception:
-        pass
+            kernel_name = {
+                "levenshtein": "levenshtein",
+                "jaro": "jaro",
+                "jaro_winkler": "jaro",
+                "jaccard": "multiset",
+                "sorensen_dice": "multiset",
+            }.get(measures[0])
+            if kernel_name and len(measures) == 1:
+                dominant_w = max(bucket_times, key=lambda w: bucket_times[w]["rows"])
+                bt = bucket_times[dominant_w]
+                result["roofline_dominant_bucket"] = roofline_report(
+                    kernel_name,
+                    bt["blocks"] * bt["block_rows"],
+                    dominant_w,
+                    max(bt["blocks"] * bt["block_ms"] / 1e3, 1e-9),
+                    itemsize=bt["itemsize"],
+                )
+        except Exception:
+            pass
 
-    if len(measures) == 1 and "baseline_single_core_pairs_per_sec" in result:
+    if len(measures) == 1 and base_out is not None and res is not None:
         values, _ = res[measures[0]]
         parity = values[:BASELINE_SUBSET].tobytes() == base_out.tobytes()
         result["bit_exact_parity"] = bool(parity)
-        result["speedup_vs_single_core"] = (
-            result["tpu_pairs_per_sec"] / result["baseline_single_core_pairs_per_sec"]
-        )
+        result["speedup_vs_single_core"] = result["tpu_pairs_per_sec"] / base_pps
         if resident is not None:
-            result["resident_speedup_vs_single_core"] = (
-                resident / result["baseline_single_core_pairs_per_sec"]
-            )
-
-    with open(out_path, "w") as f:
-        json.dump(result, f)
+            result["resident_speedup_vs_single_core"] = resident / base_pps
+    return result
 
 
 N_WIDE_PAIRS = 200_000
 WIDE_BASELINE_SUBSET = 20_000
 
 
-def worker_wide(measures_csv: str, out_path: str) -> None:
+def _wide_section(measures_csv: str, a, b, validity) -> dict | None:
     """Wide-ladder benchmark (buckets 63..511): device-resident per-bucket
     block times on a long-string workload (lengths 48..511), single-core
     native baseline, bit-exact parity on a subset — the measured coverage of
     the ladder tail that the len<=64 headline workload never touches."""
     from strsim_tpu.models.pipeline import compute_scores
-    from strsim_tpu.native import native_compute, native_available
-    from strsim_tpu.utils import encode as enc
 
     measures = tuple(measures_csv.split(","))
-    col_a, col_b = make_wide_pairs(N_WIDE_PAIRS)
-    a, b = enc.encode_pair(col_a, col_b)
-    del col_a, col_b
-    validity = a.validity & b.validity
-    _log(f"wide[{measures_csv}]: encoded {N_WIDE_PAIRS:,} pairs (width {a.width}, dtype {a.codes.dtype})")
-
-    result = {"measures": measures_csv, "n_pairs": N_WIDE_PAIRS,
+    result = {"measures": measures_csv, "n_pairs": a.n,
               "workload": "lengths 48..511 uniform (make_wide_pairs)"}
-    if len(measures) == 1 and native_available():
-        base_dt = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            base_out = native_compute(
-                measures[0],
-                a.codes[:WIDE_BASELINE_SUBSET], a.lengths[:WIDE_BASELINE_SUBSET],
-                b.codes[:WIDE_BASELINE_SUBSET], b.lengths[:WIDE_BASELINE_SUBSET],
-                validity[:WIDE_BASELINE_SUBSET],
-            )
-            base_dt = min(base_dt, time.perf_counter() - t0)
-        result["baseline_single_core_pairs_per_sec"] = WIDE_BASELINE_SUBSET / base_dt
-        _log(f"wide[{measures_csv}]: native {WIDE_BASELINE_SUBSET / base_dt:,.0f} pairs/s")
+    base_pps, base_out = _native_baseline(
+        measures[0], a, b, validity, WIDE_BASELINE_SUBSET, reps=2
+    ) if len(measures) == 1 else (None, None)
+    if base_pps is not None:
+        result["baseline_single_core_pairs_per_sec"] = base_pps
+        _log(f"wide[{measures_csv}]: native {base_pps:,.0f} pairs/s")
 
-    res_tuple = measure_resident(a, b, measures)
+    ok, res_tuple = _watchdog(
+        f"wide-resident[{measures_csv}]",
+        lambda: measure_resident(a, b, measures),
+        min(max(_remaining() - 20.0, 30.0), 600.0),
+    )
+    if not ok:
+        return None
     if res_tuple is not None:
         resident, bucket_times, device_s = res_tuple
         result["resident_pairs_per_sec"] = resident
@@ -403,72 +493,102 @@ def worker_wide(measures_csv: str, out_path: str) -> None:
             f"{w0}->{w1}": round(per_pair[w1] / per_pair[w0], 2)
             for w0, w1 in zip(ws, ws[1:])
         }
-        if "baseline_single_core_pairs_per_sec" in result:
-            result["resident_speedup_vs_single_core"] = (
-                resident / result["baseline_single_core_pairs_per_sec"]
-            )
+        if base_pps is not None:
+            result["resident_speedup_vs_single_core"] = resident / base_pps
         _log(f"wide[{measures_csv}]: resident {resident:,.0f} pairs/s; per-pair {result['per_pair_ns']}")
 
-    if len(measures) == 1 and "baseline_single_core_pairs_per_sec" in result:
-        res = compute_scores(a.slice(0, WIDE_BASELINE_SUBSET),
-                             b.slice(0, WIDE_BASELINE_SUBSET), measures)
-        values, _ = res[measures[0]]
-        result["bit_exact_parity"] = bool(values.tobytes() == base_out.tobytes())
-        _log(f"wide[{measures_csv}]: parity={result['bit_exact_parity']}")
+    if base_out is not None and _remaining() > 60:
+        ok, res = _watchdog(
+            f"wide-parity[{measures_csv}]",
+            lambda: compute_scores(
+                a.slice(0, WIDE_BASELINE_SUBSET), b.slice(0, WIDE_BASELINE_SUBSET), measures
+            ),
+            min(max(_remaining() - 10.0, 30.0), 300.0),
+        )
+        if ok:
+            values, _ = res[measures[0]]
+            result["bit_exact_parity"] = bool(values.tobytes() == base_out.tobytes())
+            _log(f"wide[{measures_csv}]: parity={result['bit_exact_parity']}")
+    return result
 
-    with open(out_path, "w") as f:
-        json.dump(result, f)
 
+def _prewarm_all(a, b, measure_sets, budget_s: float, compute_rows=None) -> dict:
+    """Compile + first-exec every pipeline kernel and timing runner the given
+    sections will use, CONCURRENTLY (daemon threads): on remote-compile
+    backends each new executable pays a terminal-side compile at first
+    execution, and those compiles overlap server-side (measured ~2x for two
+    concurrent kernels), so warming all sections up front costs roughly the
+    slowest section, not the sum. The later measurement phase then runs with
+    a quiesced device — no stray first-exec can pollute the differenced
+    timings. A section whose prewarm outruns `budget_s` keeps compiling in
+    the background (daemon) and its own section-level watchdog decides."""
+    from strsim_tpu.models.pipeline import compute_scores
 
-def run_worker_with_retry(measures_csv: str, out_path: str, mode: str = "--worker",
-                          timeout_s: int | None = None):
-    timeout_s = timeout_s or WORKER_TIMEOUT_S
-    for attempt in range(WORKER_RETRIES + 1):
+    done: dict = {}
+    # cap concurrent prewarms: try2 of round 4 showed that racing 6 compile
+    # streams against the one-time Mosaic init can starve the init itself
+    # (22 min, never completed); 3 concurrent sections measured fine post-init
+    gate = threading.Semaphore(3)
+
+    def one(mcsv: str) -> None:
         try:
-            if os.path.exists(out_path):
-                os.unlink(out_path)
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), mode, measures_csv, out_path],
-                timeout=timeout_s,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if proc.returncode == 0 and os.path.exists(out_path):
-                with open(out_path) as f:
-                    return json.load(f)
-            _log(f"worker[{measures_csv}] attempt {attempt}: rc={proc.returncode}")
-        except subprocess.TimeoutExpired:
-            _log(f"worker[{measures_csv}] attempt {attempt}: timeout after {timeout_s}s")
-    return None
+            measures = tuple(mcsv.split(","))
+            t0 = time.perf_counter()
+            with gate:
+                if compute_rows:
+                    compute_scores(a.slice(0, compute_rows), b.slice(0, compute_rows), measures)
+                else:
+                    compute_scores(a, b, measures)
+                measure_resident(a, b, measures, prewarm_only=True)
+            done[mcsv] = round(time.perf_counter() - t0, 1)
+            _log(f"prewarm[{mcsv}] done ({done[mcsv]}s)")
+        except Exception as e:  # noqa: BLE001 — the section watchdog decides later
+            _log(f"prewarm[{mcsv}] FAILED: {e!r}")
+            done[mcsv] = None
+
+    threads = [
+        threading.Thread(target=one, args=(m,), daemon=True) for m in measure_sets
+    ]
+    for t in threads:
+        t.start()
+    end = time.time() + max(budget_s, 30.0)
+    for t in threads:
+        t.join(max(end - time.time(), 0.0))
+    pending = [m for m in measure_sets if m not in done]
+    if pending:
+        _log(f"prewarm budget ({budget_s:.0f}s) exhausted; still compiling: {pending}")
+    return done
 
 
-ALL_MEASURES = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
+def _mosaic_init_warm(out: dict) -> None:
+    """Absorb the one-time terminal-side Mosaic init (65-600s measured on the
+    axon remote-compile tunnel, independent of kernel size) on a trivial
+    Pallas kernel, started at t=0 so it overlaps pair generation, encoding
+    and the native baselines."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
 
+        if jax.default_backend() != "tpu":
+            out["mosaic_init_s"] = 0.0
+            return
 
-def _print_headline(headline) -> None:
-    if headline is None:
-        print(json.dumps({
-            "metric": "levenshtein_pairs_per_sec_per_chip_1M_len64",
-            "value": 0.0,
-            "unit": "pairs/s",
-            "vs_baseline": 0.0,
-            "error": "benchmark worker failed/hung (TPU tunnel)",
-        }), flush=True)
-        return
-    # Headline: device-resident kernel throughput (pairs/sec/chip). The e2e
-    # figure including host<->device transfer sits in BENCH_DETAILS.json —
-    # in this environment transfers ride a ~30 MB/s relay tunnel, which is an
-    # artifact of the test harness, not of the chip or the engine.
-    value = headline.get("resident_pairs_per_sec", headline["tpu_pairs_per_sec"])
-    vs = headline.get(
-        "resident_speedup_vs_single_core",
-        headline.get("speedup_vs_single_core", 0.0),
-    )
-    print(json.dumps({
-        "metric": "levenshtein_pairs_per_sec_per_chip_1M_len64",
-        "value": round(value, 1),
-        "unit": "pairs/s",
-        "vs_baseline": round(vs, 2),
-    }), flush=True)
+        def k(x_ref, o_ref):
+            o_ref[...] = x_ref[...] * 2 + 1
+
+        @jax.jit
+        def f(x):
+            return pl.pallas_call(
+                k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32)
+            )(x)
+
+        t0 = time.perf_counter()
+        np.asarray(f(jnp.ones((8, 128), jnp.int32)))
+        out["mosaic_init_s"] = round(time.perf_counter() - t0, 1)
+        _log(f"mosaic init done ({out['mosaic_init_s']}s)")
+    except Exception as e:  # noqa: BLE001 — init failure surfaces in _meta
+        out["mosaic_init_error"] = repr(e)
 
 
 def main():
@@ -477,12 +597,17 @@ def main():
         "_meta": {
             "workload": "1M synthetic genealogy name pairs, len<=64, incl. "
                         "equal pairs, empties and nulls (make_pairs)",
+            "harness": "single process (one Mosaic init), incremental "
+                       "BENCH_DETAILS writes after every section, global "
+                       f"deadline {DEADLINE_S:.0f}s "
+                       "(STRSIM_BENCH_DEADLINE_S), per-step hang watchdogs",
             "resident_pairs_per_sec": "device-resident kernel throughput "
                 "(pairs/sec/chip): the real workload's bucket blocks staged "
                 "on device, marginal on-device time per block measured inside "
-                "one executable (repetition loop with data-dependent carry, "
-                "differenced across repetition counts — relay dispatch/fetch "
-                "fixed costs cancel; utils/devicetime.py)",
+                "one executable (counter-indexed loop with data-dependent "
+                "carry, differenced across trip counts — relay dispatch/fetch "
+                "fixed costs cancel; utils/devicetime.py; adversarially "
+                "validated in tools/ab_devicetime_validation.py)",
             "tpu_pairs_per_sec": "end-to-end including host<->device transfer; "
                 "in this harness transfers ride a ~30 MB/s relay tunnel "
                 "(~500x below PCIe), so this measures the tunnel, not the chip",
@@ -493,44 +618,141 @@ def main():
                 "f64 scores on a 200k-row subset",
         },
         "measures": {},
+        "skipped": [],
     }
-    # headline measure first; print the JSON line immediately so an external
-    # timeout on the whole benchmark cannot lose it
-    headline = run_worker_with_retry("levenshtein", "/tmp/strsim_bench_levenshtein.json")
-    _print_headline(headline)
-    if headline is not None:
-        details["measures"]["levenshtein"] = headline
+    _flush(details)
+    atexit.register(lambda: _print_headline(None))
 
+    # start the one-time Mosaic init immediately; it overlaps host-side prep
+    init_thread = threading.Thread(
+        target=_mosaic_init_warm, args=(details["_meta"],), daemon=True
+    )
+    init_thread.start()
+
+    col_a, col_b = make_pairs(N_PAIRS)
+    t_enc = time.perf_counter()
+    from strsim_tpu.utils import encode as enc
+
+    a, b = enc.encode_pair(col_a, col_b)
+    encode_s = time.perf_counter() - t_enc
+    del col_a, col_b
+    validity = a.validity & b.validity
+    details["_meta"]["encode_s"] = round(encode_s, 3)
+    _log(f"encoded {N_PAIRS:,} pairs (width {a.width}, {encode_s:.2f}s, dtype {a.codes.dtype})")
+
+    baselines = {}
     for measure in ALL_MEASURES:
-        if measure == "levenshtein":
+        baselines[measure] = _native_baseline(measure, a, b, validity, BASELINE_SUBSET)
+        if baselines[measure][0] is not None:
+            _log(f"native[{measure}]: {baselines[measure][0]:,.0f} pairs/s (best of 3)")
+
+    # the one-time Mosaic init MUST complete alone before any concurrent
+    # compiles: round-4 try2 raced 6 prewarm streams against it and the init
+    # never finished (22 min); sequential runs complete in 2-14 min.
+    init_thread.join(timeout=max(_remaining() - 420.0, 60.0))
+    if init_thread.is_alive():
+        _log("mosaic init STILL RUNNING at join deadline — tunnel degraded; "
+             "proceeding (everything will queue behind it)")
+
+    # phase W: warm every section concurrently (post-init, per-executable
+    # terminal compiles overlap; capped at 3 streams). Reserve ~420s for the
+    # measurement phase; sections not warm by then still run — their own
+    # watchdogs handle residual compiles.
+    section_sets = list(ALL_MEASURES) + [",".join(ALL_MEASURES)]
+    details["_meta"]["prewarm_s"] = _prewarm_all(
+        a, b, section_sets, max(_remaining() - 420.0, 60.0)
+    )
+    _flush(details)
+
+    # five measures first (the reference's whole surface,
+    # /root/reference/src/expressions/mod.rs:8-31) — each flushed on completion
+    for measure in ALL_MEASURES:
+        if _remaining() < SECTION_MIN_S:
+            details["skipped"].append(measure)
+            _log(f"DEADLINE: skipping {measure} ({_remaining():.0f}s left)")
             continue
-        r = run_worker_with_retry(measure, f"/tmp/strsim_bench_{measure}.json")
+        _log(f"section[{measure}] starting ({_remaining():.0f}s left)")
+        try:
+            r = _measure_section(measure, a, b, validity, baselines[measure])
+        except Exception as e:  # noqa: BLE001 — a failed section must not kill the run
+            _log(f"worker[{measure}] FAILED: {e!r}")
+            r = None
         if r is not None:
             details["measures"][measure] = r
-    fused = run_worker_with_retry(",".join(ALL_MEASURES), "/tmp/strsim_bench_fused.json")
-    if fused is not None:
-        details["fused"] = fused
+        else:
+            details["skipped"].append(measure)
+        if measure == "levenshtein":
+            _print_headline(r)
+        _flush(details)
+
+    if _remaining() >= SECTION_MIN_S:
+        try:
+            fused = _measure_section(",".join(ALL_MEASURES), a, b, validity, (None, None))
+        except Exception as e:  # noqa: BLE001
+            _log(f"worker[fused] FAILED: {e!r}")
+            fused = None
+        if fused is not None:
+            details["fused"] = fused
+        else:
+            details["skipped"].append("fused")
+        _flush(details)
+    else:
+        details["skipped"].append("fused")
 
     # wide-ladder coverage (buckets 63..511, lengths 48..511): the headline
     # workload is len<=64 by definition (BASELINE.md), so the ladder tail
     # gets its own measured section
     details["wide_buckets"] = {}
-    for measure in ("levenshtein", "jaro_winkler", "jaccard", "osa"):
-        r = run_worker_with_retry(
-            measure, f"/tmp/strsim_bench_wide_{measure}.json",
-            mode="--worker-wide", timeout_s=2 * WORKER_TIMEOUT_S,
-        )
+    wa = wb = wvalidity = None
+    WIDE_MEASURES = ("levenshtein", "jaro_winkler", "jaccard", "osa")
+    for measure in WIDE_MEASURES:
+        if _remaining() < SECTION_MIN_S:
+            details["skipped"].append(f"wide:{measure}")
+            _log(f"DEADLINE: skipping wide:{measure} ({_remaining():.0f}s left)")
+            continue
+        if wa is None:
+            wcol_a, wcol_b = make_wide_pairs(N_WIDE_PAIRS)
+            wa, wb = enc.encode_pair(wcol_a, wcol_b)
+            del wcol_a, wcol_b
+            wvalidity = wa.validity & wb.validity
+            _log(f"wide: encoded {N_WIDE_PAIRS:,} pairs (width {wa.width}, dtype {wa.codes.dtype})")
+            # wide phase W: the ladder kernels + runners, concurrently (the
+            # parity pass runs on a WIDE_BASELINE_SUBSET slice, so warm that
+            # shape set, and the resident shapes on the full workload)
+            details["_meta"]["prewarm_wide_s"] = _prewarm_all(
+                wa, wb, list(WIDE_MEASURES),
+                max(_remaining() - 240.0, 30.0),
+                compute_rows=WIDE_BASELINE_SUBSET,
+            )
+        try:
+            r = _wide_section(measure, wa, wb, wvalidity)
+        except Exception as e:  # noqa: BLE001
+            _log(f"wide[{measure}] FAILED: {e!r}")
+            r = None
         if r is not None:
             details["wide_buckets"][measure] = r
+        else:
+            details["skipped"].append(f"wide:{measure}")
+        _flush(details)
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"), "w") as f:
-        json.dump(details, f, indent=2)
+    details["_meta"]["total_wall_s"] = round(time.time() - _T0, 1)
+    _flush(details)
+    _print_headline(details["measures"].get("levenshtein"))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
-        worker(sys.argv[2], sys.argv[3])
-    elif len(sys.argv) >= 4 and sys.argv[1] == "--worker-wide":
-        worker_wide(sys.argv[2], sys.argv[3])
-    else:
+    rc = 0
+    try:
         main()
+    except BaseException:  # noqa: BLE001 — headline + artifacts over stack unwind
+        import traceback
+
+        traceback.print_exc()
+        _print_headline(None)
+    # hard exit: watchdog-abandoned daemon threads can be blocked inside PJRT
+    # device calls, and C++ teardown with in-flight remote ops aborts the
+    # process (observed rc 134 / "terminate called" on a degraded tunnel).
+    # Results are already flushed to disk; skip teardown entirely.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)

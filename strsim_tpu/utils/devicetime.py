@@ -6,26 +6,41 @@ remote completion, identical requests can be deduplicated, and per-dispatch
 relay costs dominate queue-drain time. The only number no relay can fake is
 the MARGINAL on-device time of extra work inside one executable:
 
-    run(C) = one dispatch: lax.scan of the kernel over C device-resident
-             chunks, accumulating a checksum, returning one scalar;
-    wall(C) = dispatch + C * t_block + fetch(scalar)
-    t_block = (wall(C2) - wall(C1)) / (C2 - C1)
+    run(n) = one dispatch: fori_loop of the kernel over n device-resident
+             chunk reads, accumulating a checksum, returning one scalar;
+    wall(n) = dispatch + n * t_block + fetch(scalar)
+    t_block = (wall(n2) - wall(n1)) / (n2 - n1)
 
-Fixed relay costs cancel in the difference. The chunk count adapts upward
-(device-side tiling of the staged chunks — no extra host uploads) until the
-difference is large against wall-clock noise.
+Fixed relay costs cancel in the difference. The trip count is a TRACED scalar,
+so ONE executable per (kernel, staged-chunk shape) serves every n — raising n
+to lift the difference above wall-clock noise needs no recompile and no extra
+device memory (the loop indexes the staged chunks modulo C). This matters on
+remote-compile backends where each new executable pays a terminal-side
+compile at first execution.
 
-Why a scan over distinct chunk indices rather than a repetition loop over the
+Why a counter-indexed dynamic slice rather than a repetition loop over the
 same chunk: XLA hoists loop-invariant computations out of while loops, so a
-"run the same kernel R times" loop can legally execute the kernel once. A
-scan body reads its chunk through a dynamic slice on the iteration index —
-per-iteration execution cannot be elided. (Tiled chunks hold identical VALUES
-but XLA cannot prove that.)
+"run the same kernel n times" loop can legally execute the kernel once. Here
+each iteration reads chunk (i mod C) through a dynamic slice on the loop
+counter — a varying index over runtime data XLA cannot prove equal across
+chunks, so per-iteration execution cannot be elided. This REQUIRES C >= 2
+physically staged chunks: at C=1 the index folds to the constant 0, the
+slice becomes loop-invariant, and XLA hoists the entire kernel out of the
+loop — observed as 0.0007 ms "block times" (the bare counter loop) on
+single-chunk buckets. _ensure_two_chunks duplicates a lone chunk before any
+timing (identical VALUES are fine — two dynamic slices of one runtime
+parameter are never provably equal; arithmetic-identity tricks like a
+min(carry, 0) index offset are NOT fine — XLA's simplifier saw through a
+masked-carry variant and hoisted anyway, verified on CPU).
+
+The estimator is adversarially validated in tools/ab_devicetime_validation.py:
+(a) wall(n) is affine in n (dispatch/fetch intercept + t_block slope), and
+(b) a planted 2x-work kernel measures 2x t_block within a few percent.
 """
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -38,36 +53,49 @@ def _runner(base_kernel: Callable) -> Callable:
     fn = _runner_cache.get(id(base_kernel))
     if fn is None:
 
-        def run(codes3, lens3):  # [C, B, 2W], [C, B, 2] -> scalar checksum
-            def step(carry, t):
-                stats = base_kernel(t[0], t[1])  # [F, B]
-                return carry + jnp.sum(stats.astype(jnp.int32)), None
+        def run(codes3, lens3, n):  # [C, B, 2W], [C, B, 2], scalar -> checksum
+            C = codes3.shape[0]
 
-            total, _ = lax.scan(step, jnp.int32(0), (codes3, lens3))
-            return total
+            def body(i, carry):
+                j = lax.rem(i, jnp.int32(C))
+                c = lax.dynamic_index_in_dim(codes3, j, 0, keepdims=False)
+                l = lax.dynamic_index_in_dim(lens3, j, 0, keepdims=False)
+                stats = base_kernel(c, l)
+                return carry + jnp.sum(stats.astype(jnp.int32))
+
+            return lax.fori_loop(0, n, body, jnp.int32(0))
 
         fn = jax.jit(run)
         _runner_cache[id(base_kernel)] = fn
     return fn
 
 
-def _tile(codes3, lens3, c: int):
-    C = codes3.shape[0]
-    if c <= C:
-        return codes3[:c], lens3[:c]
-    k = -(-c // C)
-    return (
-        jnp.tile(codes3, (k, 1, 1))[:c],
-        jnp.tile(lens3, (k, 1, 1))[:c],
-    )
-
-
-def _wall(fn, codes3, lens3) -> float:
+def _wall(run, codes3, lens3, n: int) -> float:
     import numpy as np
 
     t0 = time.perf_counter()
-    np.asarray(fn(codes3, lens3))  # scalar fetch forces remote completion
+    np.asarray(run(codes3, lens3, jnp.int32(n)))  # scalar fetch forces remote completion
     return time.perf_counter() - t0
+
+
+def _ensure_two_chunks(codes3, lens3):
+    """The runner's elision resistance requires >= 2 staged chunks (see
+    module doc); duplicate a lone chunk."""
+    if codes3.shape[0] == 1:
+        codes3 = jnp.concatenate([codes3, codes3], axis=0)
+        lens3 = jnp.concatenate([lens3, lens3], axis=0)
+    return codes3, lens3
+
+
+def prewarm_runner(base_kernel: Callable, codes3, lens3) -> None:
+    """Compile + first-exec the timing runner for this (kernel, staged-chunk
+    shape) without measuring — so a later marginal_block_time on the same
+    shapes pays no compile inside its timed window. On remote-compile
+    backends the first execution is the expensive step; several prewarms in
+    separate threads overlap server-side."""
+    codes3, lens3 = _ensure_two_chunks(codes3, lens3)
+    run = _runner(base_kernel)
+    _wall(run, codes3, lens3, 1)
 
 
 def marginal_block_time(
@@ -78,29 +106,29 @@ def marginal_block_time(
     c2: int = 9,
     reps: int = 3,
     min_delta_s: float = 0.1,
-    max_bytes: int = 4 << 30,
+    max_bytes: int = 4 << 30,  # kept for call compatibility; no tiling anymore
 ) -> float:
     """Seconds of on-device time per chunk of `codes3` for one base_kernel
     pass. codes3/lens3 must already be device-resident jax arrays shaped
-    [C, B, 2W] / [C, B, 2]. Chunks may be tiled device-side to raise the
-    measured delta above relay wall-clock noise."""
-    chunk_bytes = int(codes3.dtype.itemsize)
-    for d in codes3.shape[1:]:
-        chunk_bytes *= int(d)
-    max_chunks = max(int(max_bytes // max(chunk_bytes, 1)), c2)
+    [C, B, 2W] / [C, B, 2]. The trip count adapts upward (same executable —
+    a traced scalar) until the measured difference clears relay wall-clock
+    noise."""
+    del max_bytes
+    codes3, lens3 = _ensure_two_chunks(codes3, lens3)
     run = _runner(base_kernel)
+    _wall(run, codes3, lens3, c1)  # first exec: compile (remote) + warm
+    _wall(run, codes3, lens3, c2)
+    # iteration ceiling: don't let one probe dispatch exceed ~30s of device
+    # time even if the relay is so noisy that min_delta_s keeps growing c2
+    max_trips = 1 << 24
     while True:
-        a1 = _tile(codes3, lens3, c1)
-        a2 = _tile(codes3, lens3, c2)
-        _wall(run, *a1)  # compile + warm both shapes
-        _wall(run, *a2)
         deltas = []
         for _ in range(reps):
-            t1 = _wall(run, *a1)
-            t2 = _wall(run, *a2)
+            t1 = _wall(run, codes3, lens3, c1)
+            t2 = _wall(run, codes3, lens3, c2)
             deltas.append(t2 - t1)
         delta = min(deltas)
-        if delta >= min_delta_s or c2 >= max_chunks:
+        if delta >= min_delta_s or c2 >= max_trips:
             return max(delta, 1e-9) / (c2 - c1)
         est = max(delta / (c2 - c1), 1e-5)  # optimistic per-chunk estimate
-        c2 = min(max(int(min_delta_s / est * 1.25), c2 * 2), max_chunks)
+        c2 = min(max(int(min_delta_s / est * 1.25), c2 * 2), max_trips)

@@ -1,0 +1,133 @@
+"""Adversarial validation of the chunk-differenced device-time estimator.
+
+Every headline resident-throughput number rests on
+utils/devicetime.marginal_block_time: the claim that the slope of wall(n)
+over the trip count n inside ONE executable is the true per-block device
+time, with every relay/dispatch/fetch fixed cost cancelling in the
+difference. A skeptic can attack that two ways:
+
+  1. "The loop isn't really executing n kernel passes" (XLA elided work, so
+     the slope under-counts). Countered by test B: plant a known cost — a
+     kernel that provably does exactly 2x the work per iteration (two kernel
+     passes on operands XLA cannot prove equal, rolled rows) — and check the
+     estimator reads ~2x.
+  2. "wall(n) isn't affine in n" (queueing/relay artifacts corrupt the
+     differencing, so two points don't determine a slope). Countered by
+     test A: measure wall(n) at many n, fit a line, report R² and the
+     relative deviation of the 2-point estimator from the full fit.
+
+Run on the TPU:  python tools/ab_devicetime_validation.py
+Writes DEVICETIME_VALIDATION.json at the repo root; summarized in
+docs/ROOFLINE.md ("estimator validation").
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WIDTH = 15
+BLOCK = 65536
+CHUNKS = 4
+
+
+def _staged(seed=0):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(97, 123, size=(CHUNKS, BLOCK, 2 * WIDTH)).astype(np.int8)
+    lens = rng.integers(3, WIDTH + 1, size=(CHUNKS, BLOCK, 2)).astype(np.int32)
+    pos = np.arange(WIDTH)[None, None, :]
+    codes[:, :, :WIDTH][pos >= lens[:, :, :1]] = -1
+    codes[:, :, WIDTH:][pos >= lens[:, :, 1:2]] = -2
+    return jnp.asarray(codes), jnp.asarray(lens)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from strsim_tpu.config import get_config
+    from strsim_tpu.models import pipeline as pp
+    from strsim_tpu.utils.devicetime import _runner, _wall, marginal_block_time
+
+    cfg = get_config()
+    measures = ("levenshtein",)
+    base = pp._get_kernel(measures, pp._impls_for(cfg, WIDTH, np.int8))
+    codes3, lens3 = _staged()
+
+    out = {
+        "kernel": "levenshtein pallas_scan",
+        "width": WIDTH,
+        "block_rows": BLOCK,
+        "staged_chunks": CHUNKS,
+    }
+
+    # --- Test A: affinity of wall(n) -------------------------------------
+    run = _runner(base)
+    _wall(run, codes3, lens3, 1)  # compile + warm
+    ns = [1, 9, 17, 33, 65, 129]
+    reps = 5
+    walls = {n: [] for n in ns}
+    for _ in range(reps):
+        for n in ns:  # interleaved: drift hits every n equally
+            walls[n].append(_wall(run, codes3, lens3, n))
+    med = {n: float(np.median(walls[n])) for n in ns}
+    x = np.array(ns, dtype=np.float64)
+    y = np.array([med[n] for n in ns])
+    slope, intercept = np.polyfit(x, y, 1)
+    yhat = slope * x + intercept
+    ss_res = float(np.sum((y - yhat) ** 2))
+    ss_tot = float(np.sum((y - y.mean()) ** 2))
+    r2 = 1.0 - ss_res / ss_tot
+    est = marginal_block_time(base, codes3, lens3)
+    out["affinity"] = {
+        "trip_counts": ns,
+        "wall_s_median": {str(n): round(med[n], 5) for n in ns},
+        "fit_slope_s_per_block": round(float(slope), 7),
+        "fit_intercept_s": round(float(intercept), 5),
+        "r_squared": round(r2, 6),
+        "estimator_s_per_block": round(float(est), 7),
+        "estimator_vs_fit_pct": round((est / slope - 1.0) * 100, 2),
+    }
+    print(f"A: R²={r2:.6f}  fit slope {slope * 1e3:.4f} ms/block  "
+          f"estimator {est * 1e3:.4f} ms/block  "
+          f"({out['affinity']['estimator_vs_fit_pct']:+.2f}%)")
+
+    # --- Test B: planted 2x cost -----------------------------------------
+    # Two kernel passes per iteration on operands XLA cannot prove equal:
+    # the second pass reads the rows rolled by one (different values in every
+    # lane, same shapes/work — the roll itself is a negligible copy next to
+    # the O(L²/64·B) kernel).
+    def planted2(codes, lens):
+        s1 = base(codes, lens)
+        s2 = base(jnp.roll(codes, 1, axis=0), jnp.roll(lens, 1, axis=0))
+        return s1 + s2
+
+    t1 = marginal_block_time(base, codes3, lens3)
+    t2 = marginal_block_time(planted2, codes3, lens3)
+    out["planted_2x"] = {
+        "t_block_base_ms": round(t1 * 1e3, 4),
+        "t_block_planted_ms": round(t2 * 1e3, 4),
+        "measured_ratio": round(t2 / t1, 4),
+        "expected_ratio": 2.0,
+        "deviation_pct": round((t2 / t1 / 2.0 - 1.0) * 100, 2),
+    }
+    print(f"B: base {t1 * 1e3:.4f} ms  planted-2x {t2 * 1e3:.4f} ms  "
+          f"ratio {t2 / t1:.4f} ({out['planted_2x']['deviation_pct']:+.2f}% vs 2.0)")
+
+    out["verdict"] = {
+        "affine": r2 > 0.999,
+        "recovers_planted_cost": abs(t2 / t1 - 2.0) < 0.1,
+    }
+    path = os.path.join(REPO, "DEVICETIME_VALIDATION.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
