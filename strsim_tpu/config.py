@@ -43,11 +43,21 @@ class StrsimConfig:
     #     over "myers" on v5e), "wavefront"
     #     (round-1 anti-diagonal DP), "pallas" (round-1 experimental
     #     wavefront, interpret-only).
-    #   jaro: "auto" (production default — the fused Pallas kernel
-    #     "pallas_scan" on TPU for int8/ASCII tiles at widths <= 63
+    #   jaro: "auto" (production default) routes to the fused Pallas kernel
     #     (ops/jaro_pallas_scan.py: in-kernel EqB + VMEM greedy scan +
-    #     byte-compacted O(L) transposition, measured on v5e vs "bitmask" in
-    #     tools/ab_jaro_fused.py), "bitmask" otherwise), "bitmask"
+    #     rank-compacted O(L) transposition) on TPU by tile dtype and the
+    #     bucket's measured max codepoint (pipeline._narrow_bucket):
+    #     int8/ASCII tiles → byte compaction ("pallas_scan", every ladder
+    #     width); int32 tiles with max codepoint < 2^16 (whole BMP) →
+    #     halfword compaction ("pallas_scan_h", widths <= 95); astral
+    #     codepoints → one-char-per-word ("pallas_scan_f", widths <= 63);
+    #     anything else (wider buckets, unknown max_char, non-TPU) →
+    #     "bitmask". Cutoffs measured on v5e (tools/ab_jaro_unicode.py).
+    #     Forcing a value bypasses the routing guards — in particular,
+    #     forcing "pallas_scan_h" on tiles with codepoints >= 2^16 silently
+    #     corrupts the transposition count (two codepoints share a 32-bit
+    #     slot; see ops/stats.py contract note; STRSIM_DEBUG_PACK_CONTRACT=1
+    #     enables a host-side tile-max check). Other values: "bitmask"
     #     (packed-flag greedy scan + loop-free transposition; "xla" is an
     #     alias), "scan" (round-1 [L,B]-flag scan), "pallas" (round-2
     #     scan-only experiment).

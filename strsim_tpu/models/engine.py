@@ -37,17 +37,25 @@ class StrsimEngine:
         large_batches: bool = True,
     ) -> None:
         """Start background compiles for the kernel shapes an expected
-        workload will need (all shapes compile concurrently)."""
+        workload will need (all shapes compile concurrently).
+
+        With ascii_only=False the shapes carry a representative BMP max_char
+        (0xFFFF) so kernel routing matches what dispatch will pick for int32
+        BMP buckets (pipeline._jaro_impl_for routes on the bucket's measured
+        max codepoint). A workload with astral codepoints (>= U+10000) routes
+        to a different jaro variant at dispatch and compiles then."""
         measures = resolve_measures(measures)
         widths = list(widths) if widths is not None else list(self.config.buckets[:4])
-        dtype = np.int8 if (ascii_only and self.config.narrow_tiles) else np.int32
+        ascii_tiles = ascii_only and self.config.narrow_tiles
+        dtype = np.int8 if ascii_tiles else np.int32
+        max_char = None if ascii_tiles else 0xFFFF
         shapes = []
         for w in widths:
             blocks = {4096}
             if large_batches:
                 blocks.add(_block_rows(w, self.config, measures))
             for blk in blocks:
-                shapes.append((w, blk, dtype))
+                shapes.append((w, blk, dtype, 1, max_char))
         prewarm_shapes(measures, shapes, self.config)
 
     def compute(self, measure: str, col_a, col_b) -> np.ndarray:

@@ -553,6 +553,24 @@ def _device_dispatch(
     block = min(_block_rows(width, cfg, measures, dtype), _round_batch(sel.size, cfg))
     chunks = _chunks_for(sel.size, block)
     impls = _impls_for(cfg, width, dtype, max_char)
+    if dict(impls).get("jaro") == "pallas_scan_h":
+        import os as _os
+
+        if _os.environ.get("STRSIM_DEBUG_PACK_CONTRACT") == "1":
+            # debug contract check for FORCED pack=2 selection: a codepoint
+            # >= 2^16 would silently corrupt the halfword-compacted
+            # transposition count (ops/stats.py contract note). Auto routing
+            # already guarantees this via _narrow_bucket's measured max_char.
+            mx = max(
+                int(a.codes[sel, :width].max(initial=0)),
+                int(b.codes[sel, :width].max(initial=0)),
+            )
+            if mx >= 1 << 16:
+                raise ValueError(
+                    f"jaro_impl='pallas_scan_h' on a bucket with max codepoint "
+                    f"U+{mx:X} (>= U+10000): halfword compaction would corrupt "
+                    "the transposition count. Use jaro_impl='auto' or 'bitmask'."
+                )
     try:
         kernel = _compiled_kernel(measures, impls, block, width, dtype, cfg, chunks)
     except Exception:

@@ -131,7 +131,6 @@ def _kernel(a_ref, b_ref, la_ref, lb_ref, m_ref, t_ref, *, L: int, pack: int):
         hi = jnp.minimum(i + bound, lb - 1)  # window end (may be negative)
 
         found = jnp.zeros(shape, bool)
-        val = jnp.zeros(shape, i32)  # set when a lower word finds the match
         for w in range(W):  # greedy: low word -> high
             # EqB word w for a_i, built from only the real b rows (bits at
             # j >= L don't exist; bits at len_b <= j < L are 0 because

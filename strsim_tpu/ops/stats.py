@@ -369,7 +369,14 @@ def compute_stats(
         elif jaro_impl in ("pallas_scan_h", "pallas_scan_f"):
             # fused kernel on wide-codepoint (int32) tiles: halfword
             # compaction when the bucket's max codepoint fits 16 bits
-            # (pipeline._narrow_bucket measured it), full-word beyond
+            # (pipeline._narrow_bucket measured it), full-word beyond.
+            # CONTRACT (forced selection only): "pallas_scan_h" packs two
+            # codepoints per 32-bit slot — a codepoint >= 2^16 silently
+            # overflows into the adjacent slot and corrupts the transposition
+            # count. Auto routing is safe (gated on the bucket's measured
+            # max_char in pipeline._jaro_impl_for); forcing
+            # jaro_impl="pallas_scan_h" on astral-codepoint tiles is on the
+            # caller. STRSIM_DEBUG_PACK_CONTRACT=1 adds a host-side check.
             from strsim_tpu.ops import jaro_pallas_scan as jps
 
             if not jps.supports_width(a.shape[1]):

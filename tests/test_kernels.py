@@ -207,3 +207,18 @@ def test_jaro_adversarial_transpositions():
     want = [oracle.jaro_stats(a, b) for a, b in pairs]
     np.testing.assert_array_equal(m, np.array([w[0] for w in want]))
     np.testing.assert_array_equal(t, np.array([w[1] for w in want]))
+
+
+def test_forced_pack2_contract_debug_check(monkeypatch):
+    """ADVICE r3: forcing jaro_impl='pallas_scan_h' on tiles whose codepoints
+    exceed 16 bits silently corrupts the transposition count (two codepoints
+    share a 32-bit compaction slot). STRSIM_DEBUG_PACK_CONTRACT=1 turns that
+    contract violation into a host-side error before dispatch."""
+    import strsim_tpu as st
+
+    monkeypatch.setenv("STRSIM_DEBUG_PACK_CONTRACT", "1")
+    cfg = st.get_config().replace(jaro_impl="pallas_scan_h", equal_fast_path=False)
+    col_a = ["a\U0001F600b", "name"]  # astral codepoint >= U+10000
+    col_b = ["ab", "mane"]
+    with pytest.raises(ValueError, match="halfword compaction"):
+        st.compute("jaro", col_a, col_b, config=cfg)
