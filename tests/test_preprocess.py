@@ -101,11 +101,17 @@ def test_preprocess_through_linkage_and_blocking():
     # brute-force f32 serving path agrees on the winner
     i3, _ = st.top_k_matches(queries, cands, "jaro_winkler", k=1, preprocess=steps)
     assert i3[0, 0] == 0 and i3[1, 0] == 1
-    # record dedup
+    # record dedup — key pinned to soundex: under it 'john' (J500) and
+    # 'john x' (J520) never block together; the union DEFAULT adds a 2-char
+    # prefix key, which correctly pairs them (jw 0.933 >= 0.9)
+    i, j, s = st.dedup_records_blocked(
+        [["JOHN", "john x"]], measures="jaro_winkler", threshold=0.9,
+        key="soundex", preprocess=("casefold",))
+    assert (1, 0) not in set(zip(i.tolist(), j.tolist()))  # 'john x' != 'john'
     i, j, s = st.dedup_records_blocked(
         [["JOHN", "john x"]], measures="jaro_winkler", threshold=0.9,
         preprocess=("casefold",))
-    assert (1, 0) not in set(zip(i.tolist(), j.tolist()))  # 'john x' != 'john'
+    assert (1, 0) in set(zip(i.tolist(), j.tolist()))  # union default pairs them
     i, j, s = st.dedup_blocked(["JOHN", "john"], threshold=0.99,
                                preprocess=("casefold",))
     assert (1, 0) in set(zip(i.tolist(), j.tolist()))
