@@ -19,13 +19,20 @@ differencing harness — its numbers are used and reports carry
 `envelope: "measured"`. Otherwise the v5e estimate below is used and reports
 carry `envelope: "estimate"`.
 
-Cost models describe the ROUND-2 PRODUCTION kernels (W = ceil(L/32) words):
+Cost models describe the CURRENT PRODUCTION kernels (W = ceil(L/32) words):
 
-  levenshtein (ops/levenshtein_myers.py, bit-parallel Myers):
-    Eq precompute — one compare/select/accumulate pass over [L, 32W, B]
-    (~3 lane ops per slot); scan — L steps of ~22 word ops per word plus ~8
-    per-row scalar-lane ops. HBM: int8 tiles + lengths + stats out, plus the
-    materialized Eq tensor ([L, W, B] u32, written + read once).
+  levenshtein (ops/levenshtein_pallas_scan.py, round-3 VMEM-resident Myers
+  scan — the production path across the whole 7..511 ladder on TPU):
+    in-kernel Eq built per text position over the L REAL pattern rows
+    (~3 ops/position — NOT 32*W padded slots, and NO materialized Eq HBM
+    tensor; the round-2 model charged both, overstating lev's
+    speed-of-light time ~1.7x at L=15 and hence its efficiency — fixed in
+    round 4, tools/ab_jaro_sol_probe.py); scan — L steps of ~27 word ops
+    plus ~8 per-row ops. HBM: tiles + lengths + stats only.
+  levenshtein (ops/levenshtein_myers.py, XLA fallback for non-TPU backends):
+    Eq precompute over [L, 32W, B] (~3 ops/slot) with a materialized
+    [L, W, B] u32 Eq tensor written + read; scan — L steps of ~22 word ops
+    + ~8 per-row ops. (Use levenshtein_xla_cost for this path.)
   jaro, int8 tiles / width <= 64 (ops/jaro_pallas_scan.py, round-3 fused
   Pallas kernel):
     in-kernel EqB over the L real b rows (~3 ops/position, no HBM tensor);
@@ -104,6 +111,20 @@ def _io_bytes(batch: int, width: int, itemsize: int, n_out: int) -> float:
 
 
 def levenshtein_cost(batch: int, width: int, itemsize: int = 1) -> KernelCost:
+    """Production Pallas scan kernel (ops/levenshtein_pallas_scan.py):
+    in-kernel Eq over the L real pattern rows, no intermediate HBM traffic."""
+    W = _words(width)
+    eq = 3.0 * width * width * batch
+    scan = width * (27.0 * W + 8.0) * batch
+    return KernelCost(
+        lane_ops=eq + scan,
+        hbm_bytes=_io_bytes(batch, width, itemsize, 1),
+    )
+
+
+def levenshtein_xla_cost(batch: int, width: int, itemsize: int = 1) -> KernelCost:
+    """Round-2 XLA Myers kernel (ops/levenshtein_myers.py, non-TPU fallback):
+    Eq precompute over 32*W padded slots + materialized [L, W, B] Eq tensor."""
     W = _words(width)
     eq = 3.0 * width * (32 * W) * batch
     scan = width * (22.0 * W + 8.0) * batch
