@@ -749,6 +749,22 @@ if __name__ == "__main__":
 
         traceback.print_exc()
         _print_headline(None)
+    # Best-effort graceful device release (bounded): an abandoned remote
+    # session can leave the device grant held server-side, wedging the NEXT
+    # process's claim for tens of minutes (observed after a SIGABRT exit).
+    # Try to tear the backend down cleanly, but never let that itself hang.
+    try:
+        from strsim_tpu.utils.compile_guard import run_with_timeout
+
+        def _release():
+            import jax
+
+            jax.clear_backends()
+
+        ok, _ = run_with_timeout(_release, 10.0)
+        _log(f"backend release: {'clean' if ok else 'timed out (abandoned)'}")
+    except Exception:
+        pass
     # hard exit: watchdog-abandoned daemon threads can be blocked inside PJRT
     # device calls, and C++ teardown with in-flight remote ops aborts the
     # process (observed rc 134 / "terminate called" on a degraded tunnel).
