@@ -45,8 +45,8 @@ import time
 import numpy as np
 
 SEED = 20260816
-N_PAIRS = 1_000_000
-BASELINE_SUBSET = 200_000
+N_PAIRS = int(os.environ.get("STRSIM_BENCH_N_PAIRS", "1000000"))
+BASELINE_SUBSET = min(200_000, N_PAIRS)
 DEADLINE_S = float(os.environ.get("STRSIM_BENCH_DEADLINE_S", "1380"))
 # don't start a measure section with less than this budget left: a section is
 # ~10-40s warm (post-init) + ~10s timed + ~20-60s resident measurement
@@ -259,7 +259,10 @@ def measure_resident(a, b, measures, prewarm_only: bool = False):
 
 ALL_MEASURES = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
 
-_DETAILS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json")
+_DETAILS_PATH = os.environ.get(
+    "STRSIM_BENCH_DETAILS_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"),
+)
 
 
 def _flush(details) -> None:
@@ -448,8 +451,8 @@ def _measure_section(measures_csv: str, a, b, validity, baseline) -> dict | None
     return result
 
 
-N_WIDE_PAIRS = 200_000
-WIDE_BASELINE_SUBSET = 20_000
+N_WIDE_PAIRS = int(os.environ.get("STRSIM_BENCH_N_WIDE", "200000"))
+WIDE_BASELINE_SUBSET = min(20_000, N_WIDE_PAIRS)
 
 
 def _wide_section(measures_csv: str, a, b, validity) -> dict | None:
@@ -592,6 +595,12 @@ def _mosaic_init_warm(out: dict) -> None:
 
 
 def main():
+    if os.environ.get("STRSIM_FORCE_CPU") == "1":
+        # harness smoke mode (CI / tunnel-down debugging): same flow, CPU
+        # backend, no TPU numbers — combine with STRSIM_BENCH_N_PAIRS
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     details = {
         "n_pairs": N_PAIRS,
         "_meta": {
