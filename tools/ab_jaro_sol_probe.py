@@ -171,6 +171,7 @@ def make_variant(L, BR, mode, pack=4):
             grid=(G,),
             in_specs=[tile_spec(L), tile_spec(L), row_spec, row_spec],
             out_specs=(row_spec, row_spec),
+            interpret=jax.default_backend() != "tpu",
         )(a4, b4, la3, lb3)
         return jnp.stack([m3.reshape(B), t3.reshape(B)])
 
@@ -184,10 +185,11 @@ def main():
     out = {"envelope": {"vpu_ops_per_sec": ENVELOPE.vpu_ops_per_sec,
                         "hbm_bytes_per_sec": ENVELOPE.hbm_bytes_per_sec,
                         "provenance": ENVELOPE.provenance}}
+    smoke = os.environ.get("STRSIM_AB_SMOKE") == "1"  # CPU flow check only
     rng = np.random.default_rng(7)
-    for L in (15, 31):
-        B = 262144
-        BR = 8192
+    for L in (15, 31) if not smoke else (15,):
+        B = 262144 if not smoke else 512
+        BR = 8192 if not smoke else 512
         codes = rng.integers(97, 123, size=(B, 2 * L)).astype(np.int8)
         lens = rng.integers(max(2, L - 7), L + 1, size=(B, 2)).astype(np.int32)
         C = 1

@@ -71,12 +71,14 @@ def fixed_length_probe(L: int, measures=("levenshtein",), n_rows=8192):
 def main():
     from strsim_tpu.config import get_config, set_config
 
+    smoke = os.environ.get("STRSIM_AB_SMOKE") == "1"  # CPU flow check only
+    n_probe = 512 if smoke else 8192
     out = {}
 
     # --- A: fixed-length kernel probes ---------------------------------
     probes = {}
     for L in (255, 319, 383):
-        per_pair = fixed_length_probe(L)
+        per_pair = fixed_length_probe(L, n_rows=n_probe)
         probes[str(L)] = {"per_pair_ns": round(per_pair, 1)}
         log(f"fixed-len L={L}: {per_pair:.0f} ns/pair")
     for l0, l1 in ((255, 319), (255, 383), (319, 383)):
@@ -94,7 +96,7 @@ def main():
     from bench import make_wide_pairs, measure_resident
     from strsim_tpu.utils import encode as enc
 
-    col_a, col_b = make_wide_pairs(200_000)
+    col_a, col_b = make_wide_pairs(200_000 if not smoke else 4_000)
     a, b = enc.encode_pair(col_a, col_b)
     del col_a, col_b
     base_cfg = get_config()
