@@ -30,8 +30,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+_SMOKE = os.environ.get("STRSIM_AB_SMOKE") == "1"  # CPU flow check only
 WIDTH = 15
-BLOCK = 65536
+BLOCK = 65536 if not _SMOKE else 2048
 CHUNKS = 4
 
 
