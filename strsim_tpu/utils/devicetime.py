@@ -78,13 +78,40 @@ def _wall(run, codes3, lens3, n: int) -> float:
     return time.perf_counter() - t0
 
 
-def _ensure_two_chunks(codes3, lens3):
-    """The runner's elision resistance requires >= 2 staged chunks (see
-    module doc); duplicate a lone chunk."""
-    if codes3.shape[0] == 1:
-        codes3 = jnp.concatenate([codes3, codes3], axis=0)
-        lens3 = jnp.concatenate([lens3, lens3], axis=0)
+# staged-pool floor: the loop must STREAM like production (each pipeline
+# block is read from HBM once), so the working set must exceed any on-chip
+# tier (v5e VMEM ~128 MB) and spread over enough distinct chunks that
+# re-read locality cannot flatter the estimate. Chunk-count cap bounds the
+# [C, B, 2W] staging copy.
+_MIN_POOL_BYTES = 256 << 20
+_MAX_POOL_CHUNKS = 4096
+
+
+def _ensure_pool(codes3, lens3):
+    """Tile the staged chunks (device-side, values repeat round-robin) until
+    the pool clears _MIN_POOL_BYTES (or the chunk cap). Also guarantees the
+    >= 2 chunks the elision resistance requires (see module doc)."""
+    C = int(codes3.shape[0])
+    if jax.default_backend() != "tpu":
+        # CPU/interpret runs (tests, smoke): only the >= 2-chunk elision
+        # guarantee matters; no on-chip tier to defeat
+        want = 2
+    else:
+        chunk_bytes = int(codes3.dtype.itemsize)
+        for d in codes3.shape[1:]:
+            chunk_bytes *= int(d)
+        want = max(
+            2, min(-(-_MIN_POOL_BYTES // max(chunk_bytes, 1)), _MAX_POOL_CHUNKS)
+        )
+    if C >= want:
+        return codes3, lens3
+    k = -(-want // C)
+    codes3 = jnp.tile(codes3, (k, 1, 1))[:want]
+    lens3 = jnp.tile(lens3, (k, 1, 1))[:want]
     return codes3, lens3
+
+
+_ensure_two_chunks = _ensure_pool  # back-compat alias (tests)
 
 
 def prewarm_runner(base_kernel: Callable, codes3, lens3) -> None:

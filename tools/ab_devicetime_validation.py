@@ -53,7 +53,12 @@ def main():
 
     from strsim_tpu.config import get_config
     from strsim_tpu.models import pipeline as pp
-    from strsim_tpu.utils.devicetime import _runner, _wall, marginal_block_time
+    from strsim_tpu.utils.devicetime import (
+        _ensure_pool,
+        _runner,
+        _wall,
+        marginal_block_time,
+    )
 
     cfg = get_config()
     measures = ("levenshtein",)
@@ -68,9 +73,14 @@ def main():
     }
 
     # --- Test A: affinity of wall(n) -------------------------------------
+    codes3, lens3 = _ensure_pool(codes3, lens3)
     run = _runner(base)
     _wall(run, codes3, lens3, 1)  # compile + warm
-    ns = [1, 9, 17, 33, 65, 129]
+    # scale trip counts so the largest wall is ~2s — far above relay noise
+    # (the 2-point estimator itself adapts the same way in production)
+    t_est = max(marginal_block_time(base, codes3, lens3), 1e-6)
+    m = max(1, int(0.125 / t_est))
+    ns = [1, m, 2 * m, 4 * m, 8 * m, 16 * m]
     reps = 5
     walls = {n: [] for n in ns}
     for _ in range(reps):
