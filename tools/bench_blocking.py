@@ -250,6 +250,15 @@ def main():
             f"blocked {t_blocked:.2f}s vs brute {t_brute:.2f}s")
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_BLOCKING.json")
+    # preserve sections written by the companion tools (stream/shard runs)
+    try:
+        with open(out) as f:
+            existing = json.load(f)
+        for k in ("stream_restart", "shard_run"):
+            if k in existing and k not in res:
+                res[k] = existing[k]
+    except Exception:
+        pass
     with open(out, "w") as f:
         json.dump(res, f, indent=1)
     log(f"wrote {out}")
