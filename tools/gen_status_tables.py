@@ -82,9 +82,9 @@ def linkage_table(link) -> str:
 
 def scaling_table(mh) -> str:
     weak = mh.get("sharded_kernel_cpu_mesh_weak", {})
-    out = ["| devices | sharding efficiency (weak, fixed total work) |", "|---|---|"]
+    out = ["| devices | sharding overhead (fixed total work, median ± IQR) |", "|---|---|"]
     for n, r in weak.get("devices", {}).items():
-        out.append(f"| {n} | {r['sharding_efficiency']:.2f} |")
+        out.append(f"| {n} | {r.get('statement', '—')} |")
     for key in ("jax_distributed_2proc", "jax_distributed_4proc"):
         r = mh.get(key)
         if r:
