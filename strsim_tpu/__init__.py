@@ -64,6 +64,7 @@ from strsim_tpu.models.linkage import (
 )
 from strsim_tpu.utils.preprocess import preprocess_column
 from strsim_tpu.models.blocking import (
+    DEFAULT_BLOCKING_KEYS,
     blocked_pairs,
     dedup_blocked,
     dedup_blocked_stream,
@@ -77,7 +78,7 @@ from strsim_tpu.models.blocking import (
 )
 from strsim_tpu.models.measures import MEASURES
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "levenshtein",
@@ -117,6 +118,7 @@ __all__ = [
     "soundex_keys",
     "nysiis_keys",
     "top_k_matches_blocked",
+    "DEFAULT_BLOCKING_KEYS",
     "top_k_matches_multi_blocked",
     "unpack_soundex",
     "preprocess_column",
