@@ -46,27 +46,32 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_runner_cache: Dict[int, Callable] = {}
+# keyed by id(kernel); the entry HOLDS the kernel so its id can never be
+# recycled by the allocator while the cache maps it (an id()-keyed cache
+# without a strong reference can hand a freed kernel's runner to a new
+# kernel allocated at the same address)
+_runner_cache: Dict[int, tuple] = {}
 
 
 def _runner(base_kernel: Callable) -> Callable:
-    fn = _runner_cache.get(id(base_kernel))
-    if fn is None:
+    entry = _runner_cache.get(id(base_kernel))
+    if entry is not None and entry[0] is base_kernel:
+        return entry[1]
 
-        def run(codes3, lens3, n):  # [C, B, 2W], [C, B, 2], scalar -> checksum
-            C = codes3.shape[0]
+    def run(codes3, lens3, n):  # [C, B, 2W], [C, B, 2], scalar -> checksum
+        C = codes3.shape[0]
 
-            def body(i, carry):
-                j = lax.rem(i, jnp.int32(C))
-                c = lax.dynamic_index_in_dim(codes3, j, 0, keepdims=False)
-                l = lax.dynamic_index_in_dim(lens3, j, 0, keepdims=False)
-                stats = base_kernel(c, l)
-                return carry + jnp.sum(stats.astype(jnp.int32))
+        def body(i, carry):
+            j = lax.rem(i, jnp.int32(C))
+            c = lax.dynamic_index_in_dim(codes3, j, 0, keepdims=False)
+            l = lax.dynamic_index_in_dim(lens3, j, 0, keepdims=False)
+            stats = base_kernel(c, l)
+            return carry + jnp.sum(stats.astype(jnp.int32))
 
-            return lax.fori_loop(0, n, body, jnp.int32(0))
+        return lax.fori_loop(0, n, body, jnp.int32(0))
 
-        fn = jax.jit(run)
-        _runner_cache[id(base_kernel)] = fn
+    fn = jax.jit(run)
+    _runner_cache[id(base_kernel)] = (base_kernel, fn)
     return fn
 
 
