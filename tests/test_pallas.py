@@ -469,3 +469,87 @@ def test_pallas_multiset_rejects_wide():
     ca, cb, la, lb = _tiles([("abc", "abd")] * 8, width=95)
     with pytest.raises(ValueError):
         multiset_intersection_pallas(ca, cb, la, lb, interpret=True)
+
+
+def test_fused_lev_jaro_kernel_parity():
+    """Shared-equality fused lev+jaro kernel (round 4): bit-exact vs the two
+    separate production kernels and the oracle, incl. len-1 pairs, empties,
+    and the greedy-window edge cases, at both transpose tile sizes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops import lev_jaro_pallas as ljp
+    from strsim_tpu.ops import oracle
+    from strsim_tpu.utils import encode as enc
+
+    rng = np.random.default_rng(20260820)
+    for width in (15, 31):
+        n = 64
+        cols = []
+        for _ in range(2):
+            out = []
+            for _ in range(n):
+                ln = int(rng.integers(0, width + 1))
+                out.append("".join(chr(97 + int(c)) for c in rng.integers(0, 5, ln)))
+            cols.append(out)
+        # pin the special cases
+        cols[0][:6] = ["", "", "a", "a", "b", "ab"]
+        cols[1][:6] = ["", "x", "a", "b", "b", "ba"]
+        a = enc.encode_column(cols[0], pad=enc.PAD_A, width=width)
+        b = enc.encode_column(cols[1], pad=enc.PAD_B, width=width)
+        args = (jnp.asarray(a.codes), jnp.asarray(b.codes),
+                jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+        lev, m, t = ljp.lev_jaro_stats_pallas(*args)
+        # oracle parity on IN-CONTRACT rows (the pipeline resolves empty
+        # sides host-side before any kernel; kernels never see len 0)
+        for i in range(n):
+            x, y = cols[0][i], cols[1][i]
+            if not x or not y:
+                continue
+            want_lev = oracle.levenshtein_distance(x, y)
+            assert int(lev[i]) == want_lev, (width, i, x, y)
+            if len(x) == 1 and len(y) == 1:
+                # kernels use the direct-compare stats convention here
+                # (m = eq, t = 0) — score-equivalent to the oracle's
+                # len-1 shortcut; covered by the separate-kernel check
+                continue
+            want_m, want_t = oracle.jaro_stats(x, y)
+            assert int(m[i]) == want_m, (width, i, x, y)
+            assert int(t[i]) == want_t, (width, i, x, y)
+        # contract-equivalence with the separate production kernels on ALL
+        # rows, empties included (both are off-oracle there in the same way)
+        from strsim_tpu.ops.jaro_pallas_scan import jaro_match_stats_pallas_scan
+        from strsim_tpu.ops.levenshtein_pallas_scan import (
+            levenshtein_distance_myers_pallas,
+        )
+
+        sep_lev = levenshtein_distance_myers_pallas(*args)
+        sep_m, sep_t = jaro_match_stats_pallas_scan(*args)
+        assert np.asarray(lev).tolist() == np.asarray(sep_lev).tolist(), width
+        assert np.asarray(m).tolist() == np.asarray(sep_m).tolist(), width
+        assert np.asarray(t).tolist() == np.asarray(sep_t).tolist(), width
+
+
+def test_fused_lev_jaro_dispatch_via_compute_stats():
+    """compute_stats takes the fused path when both impls are pallas_scan and
+    the shapes qualify — outputs identical to the separate-kernel path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.stats import compute_stats
+    from strsim_tpu.utils import encode as enc
+
+    cols_a = ["phillips", "smith", "a", "", "chamberlain"[:15], "abcab"]
+    cols_b = ["philips", "smyth", "b", "x", "chamberlin"[:15], "bacba"]
+    a = enc.encode_column(cols_a, pad=enc.PAD_A, width=15)
+    b = enc.encode_column(cols_b, pad=enc.PAD_B, width=15)
+    args = (jnp.asarray(a.codes), jnp.asarray(b.codes),
+            jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+    fused = compute_stats(*args, ("levenshtein", "jaro"),
+                          (("levenshtein", "pallas_scan"), ("jaro", "pallas_scan")))
+    sep_lev = compute_stats(*args, ("levenshtein",),
+                            (("levenshtein", "pallas_scan"),))
+    sep_jaro = compute_stats(*args, ("jaro",), (("jaro", "pallas_scan"),))
+    assert np.asarray(fused["lev_d"]).tolist() == np.asarray(sep_lev["lev_d"]).tolist()
+    assert np.asarray(fused["jaro_m"]).tolist() == np.asarray(sep_jaro["jaro_m"]).tolist()
+    assert np.asarray(fused["jaro_t"]).tolist() == np.asarray(sep_jaro["jaro_t"]).tolist()
