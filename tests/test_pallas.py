@@ -553,3 +553,40 @@ def test_fused_lev_jaro_dispatch_via_compute_stats():
     assert np.asarray(fused["lev_d"]).tolist() == np.asarray(sep_lev["lev_d"]).tolist()
     assert np.asarray(fused["jaro_m"]).tolist() == np.asarray(sep_jaro["jaro_m"]).tolist()
     assert np.asarray(fused["jaro_t"]).tolist() == np.asarray(sep_jaro["jaro_t"]).tolist()
+
+
+def test_fused_lev_jaro_fallthrough_conditions():
+    """The fused path must NOT activate (and results stay correct via the
+    separate kernels) when the width exceeds one flag word, the tiles are
+    not int8, or only one of the two impls selects pallas_scan."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.stats import compute_stats
+    from strsim_tpu.utils import encode as enc
+    from strsim_tpu.ops import oracle
+
+    cols_a = ["phillips", "featherstone", "chamberlain"]
+    cols_b = ["philips", "featherston", "chamberlin"]
+
+    def check(width, force_int32=False, impls=(("levenshtein", "pallas_scan"),
+                                               ("jaro", "pallas_scan"))):
+        a = enc.encode_column(cols_a, pad=enc.PAD_A, width=width)
+        b = enc.encode_column(cols_b, pad=enc.PAD_B, width=width)
+        ca = a.codes.astype(np.int32) if force_int32 else a.codes
+        cb = b.codes.astype(np.int32) if force_int32 else b.codes
+        got = compute_stats(jnp.asarray(ca), jnp.asarray(cb),
+                            jnp.asarray(a.lengths), jnp.asarray(b.lengths),
+                            ("levenshtein", "jaro"), impls)
+        for i, (x, y) in enumerate(zip(cols_a, cols_b)):
+            assert int(got["lev_d"][i]) == oracle.levenshtein_distance(x, y)
+            m, t = oracle.jaro_stats(x, y)
+            assert int(got["jaro_m"][i]) == m and int(got["jaro_t"][i]) == t
+
+    # width > 31: separate kernels (95 = the fori wide variants, which ARE
+    # interpretable in CI time; 33-64 unrolled multiword bodies are not —
+    # see test_pallas_scan_fuzz_matches_xla_myers's note)
+    check(95)
+    check(15, force_int32=True)     # non-int8 tiles: separate kernels
+    check(15, impls=(("levenshtein", "myers"), ("jaro", "pallas_scan")))
+    check(15, impls=(("levenshtein", "pallas_scan"), ("jaro", "bitmask")))
