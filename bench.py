@@ -22,8 +22,11 @@ kill at ANY point):
   * BENCH_DETAILS.json is rewritten atomically after EVERY section — a kill
     loses at most the section in flight, never completed measurements.
   * The headline JSON line prints as soon as the levenshtein section
-    completes, and an atexit guard prints an error headline if nothing was
-    printed by exit.
+    completes (kill-resilience), and the SAME line is re-printed unguarded as
+    the process's literal last output in every exit path (normal return,
+    exception, atexit, pre-os._exit) — last-line-wins for the driver's
+    parser. Rounds 1/2/4 shipped `parsed: null` because later stderr progress
+    buried the single early print.
   * A global deadline (env STRSIM_BENCH_DEADLINE_S, default 1380s) gates every
     section: when the remaining budget can no longer fit a section, remaining
     sections are skipped gracefully and the run exits 0 with whatever is
@@ -275,22 +278,18 @@ def _flush(details) -> None:
     os.replace(tmp, _DETAILS_PATH)
 
 
-_headline_printed = [False]
+_headline_state = {"payload": None, "early_printed": False}
 
 
-def _print_headline(headline) -> None:
-    if _headline_printed[0]:
-        return
-    _headline_printed[0] = True
+def _headline_payload(headline) -> dict:
     if headline is None:
-        print(json.dumps({
+        return {
             "metric": "levenshtein_pairs_per_sec_per_chip_1M_len64",
             "value": 0.0,
             "unit": "pairs/s",
             "vs_baseline": 0.0,
             "error": "levenshtein section did not complete (TPU tunnel)",
-        }), flush=True)
-        return
+        }
     # Headline: device-resident kernel throughput (pairs/sec/chip). The e2e
     # figure including host<->device transfer sits in BENCH_DETAILS.json —
     # in this environment transfers ride a ~30 MB/s relay tunnel, which is an
@@ -300,12 +299,107 @@ def _print_headline(headline) -> None:
         "resident_speedup_vs_single_core",
         headline.get("speedup_vs_single_core", 0.0),
     )
-    print(json.dumps({
+    return {
         "metric": "levenshtein_pairs_per_sec_per_chip_1M_len64",
         "value": round(value, 1),
         "unit": "pairs/s",
         "vs_baseline": round(vs, 2),
-    }), flush=True)
+    }
+
+
+def _print_headline(headline) -> None:
+    """Early, once-only headline print (kill-resilience: if the driver kills
+    the process mid-run, the number from the levenshtein section is already on
+    stdout). The FINAL print is `_print_headline_final` — unguarded, re-prints
+    the same JSON as the process's literal last line in every exit path
+    (rounds 1/2/4 shipped `parsed: null` because ~20 min of later stderr
+    buried this early line; last-line-wins for any tail parser)."""
+    if headline is not None and _headline_state["payload"] is None:
+        _headline_state["payload"] = _headline_payload(headline)
+    if _headline_state["early_printed"]:
+        return
+    _headline_state["early_printed"] = True
+    print(json.dumps(_headline_payload(headline)), flush=True)
+
+
+def _print_headline_final() -> None:
+    """Re-print the headline JSON unguarded — call as the last output of every
+    exit path so the headline is always the final line on stdout."""
+    payload = _headline_state["payload"] or _headline_payload(None)
+    print(json.dumps(payload), flush=True)
+
+
+def _encode_section(details) -> dict:
+    """Host-encode throughput, pass-by-pass budget, and the projected
+    UNTUNNELED end-to-end rate. SURVEY §7 hard-part #4: on real (non-relay)
+    hardware the host encode — not the chip — is the e2e ceiling (the device
+    finishes 1M pairs in ~0.8 ms), so it gets its own measured budget.
+    Host-only: no device traffic, runs in ~3 s."""
+    from strsim_tpu.utils import encode as enc
+
+    col_a, col_b = make_pairs(N_PAIRS)  # same seed → identical columns
+    n = len(col_a)
+    out = {"n_pairs": n}
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a, b = enc.encode_pair(col_a, col_b)
+        best = min(best, time.perf_counter() - t0)
+    out["encode_pair_s"] = round(best, 4)
+    out["encode_pairs_per_sec"] = round(n / best, 1)
+    out["tile"] = {"width": a.width, "dtype": str(a.codes.dtype),
+                   "bytes_per_column": a.codes.nbytes}
+    # pass breakdown of the joint native path (list ob_item → scan → encode)
+    try:
+        from strsim_tpu.native import binding as nb
+        from strsim_tpu.utils.alloc import fast_empty
+
+        if nb.get_lib() is not None:
+            ca = enc._column_objects(col_a)
+            cb = enc._column_objects(col_b)
+            t0 = time.perf_counter()
+            sa = nb.scan_object_ptr(ca[0], ca[1])
+            sb = nb.scan_object_ptr(cb[0], cb[1])
+            scan_s = time.perf_counter() - t0
+            w = max(sa[0], sb[0], 1)
+            dtype = np.int8 if (sa[1] and sb[1]) else np.int32
+            t0 = time.perf_counter()
+            codes_a = fast_empty((ca[1], w), dtype, populate=False)
+            nb.encode_object_ptr(ca[0], ca[1], w, enc.PAD_A, codes_a)
+            codes_b = fast_empty((cb[1], w), dtype, populate=False)
+            nb.encode_object_ptr(cb[0], cb[1], w, enc.PAD_B, codes_b)
+            alloc_encode_s = time.perf_counter() - t0
+            out["passes"] = {
+                "scan_s": round(scan_s, 4),
+                "alloc_encode_s": round(alloc_encode_s, 4),
+                "list_obitem_route": type(ca[2]) is list,
+            }
+    except Exception as e:  # noqa: BLE001 — breakdown is diagnostic, not load-bearing
+        out["passes_error"] = repr(e)
+
+    # Projected untunneled e2e: measured encode + modeled PCIe-class staging
+    # + measured resident device time. Stated model: 10 GB/s effective
+    # host->device (PCIe gen3 x16 is 16 GB/s raw; TPU hosts sustain 10+),
+    # scores (8B f64/pair) returned at the same rate, serially.
+    lev = details.get("measures", {}).get("levenshtein", {})
+    dev_s_1m = lev.get("resident_device_s_per_1M")
+    if dev_s_1m is not None:
+        pcie_gbps = 10.0
+        staged = (a.codes.nbytes + b.codes.nbytes
+                  + a.lengths.nbytes + b.lengths.nbytes + 8 * n)
+        staging_s = staged / (pcie_gbps * 1e9)
+        device_s = dev_s_1m * (n / 1e6)
+        out["projected_untunneled_e2e"] = {
+            "model": "encode(measured) + staging(modeled 10 GB/s) + device(measured resident)",
+            "staged_bytes": staged,
+            "staging_s": round(staging_s, 4),
+            "device_s": round(device_s, 4),
+            "serial_pairs_per_sec": round(n / (best + staging_s + device_s), 1),
+            "pipelined_pairs_per_sec": round(n / max(best, staging_s, device_s), 1),
+        }
+        details["_meta"]["projected_e2e_pairs_per_sec"] = (
+            out["projected_untunneled_e2e"]["pipelined_pairs_per_sec"])
+    return out
 
 
 def _watchdog(step_name: str, fn, timeout_s: float):
@@ -630,7 +724,7 @@ def main():
         "skipped": [],
     }
     _flush(details)
-    atexit.register(lambda: _print_headline(None))
+    atexit.register(_print_headline_final)
 
     # start the one-time Mosaic init immediately; it overlaps host-side prep
     init_thread = threading.Thread(
@@ -694,6 +788,17 @@ def main():
             _print_headline(r)
         _flush(details)
 
+    # host-encode budget + projected untunneled e2e (host-only, ~3 s)
+    try:
+        details["encode"] = _encode_section(details)
+        enc_sec = details["encode"]
+        _log(f"encode: {enc_sec['encode_pairs_per_sec']:,.0f} pairs/s "
+             f"({enc_sec['encode_pair_s']:.3f}s; passes={enc_sec.get('passes')}); "
+             f"projected untunneled e2e={details['_meta'].get('projected_e2e_pairs_per_sec')}")
+    except Exception as e:  # noqa: BLE001
+        _log(f"encode section FAILED: {e!r}")
+    _flush(details)
+
     if _remaining() >= SECTION_MIN_S:
         try:
             fused = _measure_section(",".join(ALL_MEASURES), a, b, validity, (None, None))
@@ -747,6 +852,7 @@ def main():
     details["_meta"]["total_wall_s"] = round(time.time() - _T0, 1)
     _flush(details)
     _print_headline(details["measures"].get("levenshtein"))
+    _print_headline_final()
 
 
 if __name__ == "__main__":
@@ -757,7 +863,7 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc()
-        _print_headline(None)
+        _print_headline(None)  # early guard (no-op if already printed)
     # Best-effort graceful device release (bounded): an abandoned remote
     # session can leave the device grant held server-side, wedging the NEXT
     # process's claim for tens of minutes (observed after a SIGABRT exit).
@@ -778,6 +884,9 @@ if __name__ == "__main__":
     # device calls, and C++ teardown with in-flight remote ops aborts the
     # process (observed rc 134 / "terminate called" on a degraded tunnel).
     # Results are already flushed to disk; skip teardown entirely.
+    # The headline JSON must be the LAST line this process ever prints
+    # (os._exit skips atexit, so re-print it explicitly here).
+    _print_headline_final()
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(rc)

@@ -75,7 +75,42 @@ def test_devicetime_runner_not_elided_at_single_chunk():
     _wall(run, c3, l3, 1)
     t1 = min(_wall(run, c3, l3, 1) for _ in range(3))
     t64 = min(_wall(run, c3, l3, 64) for _ in range(3))
-    assert t64 > 20 * t1, (t1, t64)
+    # A hoisted kernel shows ratio ~1; real per-chunk work shows ~64x. Bound
+    # at 8x (not 20x) so fixed dispatch overhead on a loaded CI runner can't
+    # compress a genuine linear signal below the threshold (ADVICE round 4).
+    assert t64 > 8 * t1, (t1, t64)
+
+
+def test_headline_final_is_reprintable(capsys):
+    """Regression (rounds 1/2/4 shipped parsed:null): the final headline print
+    must be unguarded — it re-prints the remembered levenshtein payload after
+    the early once-only print, so the JSON can be the process's last line."""
+    import json
+
+    import bench
+
+    state_before = dict(bench._headline_state)
+    try:
+        bench._headline_state.update({"payload": None, "early_printed": False})
+        bench._print_headline({"resident_pairs_per_sec": 1.25e9,
+                               "resident_speedup_vs_single_core": 650.0})
+        bench._print_headline({"resident_pairs_per_sec": 9.9})  # guarded: no-op
+        bench._print_headline_final()
+        bench._print_headline_final()  # unguarded: prints every time
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+        assert len(lines) == 3
+        payloads = [json.loads(ln) for ln in lines]
+        assert all(p == payloads[0] for p in payloads)
+        assert payloads[-1]["value"] == 1.25e9
+        assert payloads[-1]["vs_baseline"] == 650.0
+
+        # error path: nothing measured -> final print emits the error payload
+        bench._headline_state.update({"payload": None, "early_printed": False})
+        bench._print_headline_final()
+        err = json.loads(capsys.readouterr().out.strip())
+        assert err["value"] == 0.0 and "error" in err
+    finally:
+        bench._headline_state.update(state_before)
 
 
 def test_measure_resident_prewarm_only():
