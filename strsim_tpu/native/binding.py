@@ -31,64 +31,49 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-def encode_object_column(
-    arr: np.ndarray, pad: int, width: Optional[int]
-) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Object ndarray of str|None → (codes, lengths, validity) via direct
-    PyUnicode struct reads in C++ (no UTF-8 round-trip, threaded, and the
-    codes tile is int8 when the whole column is ASCII). Returns None when the
-    native path is unavailable or the column contains str subclasses (the
-    caller's slower paths handle those); raises TypeError for non-strings,
-    ValueError when a row exceeds `width` — matching the numpy path.
-    """
+def scan_object_ptr(
+    objs_addr: int, n: int
+) -> Optional[Tuple[int, bool, np.ndarray, np.ndarray]]:
+    """Pass 1 over a raw PyObject** array (threaded C++, no refcount traffic):
+    returns (max_len | -(row+1) on a non-str row, all_ascii, lengths,
+    validity). Returns None when the native library is unavailable. The
+    caller owns error formatting (it knows the original column object)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "strsim_scan_object_column"):
         return None
-    n = arr.shape[0]
-    if n == 0:
-        return None
     lib.strsim_scan_object_column.restype = ctypes.c_int64
-    lib.strsim_encode_object_column.restype = ctypes.c_int64
     lengths = np.empty(n, dtype=np.int32)
     validity = np.empty(n, dtype=np.uint8)
     all_ascii = ctypes.c_int32(0)
-    objs = ctypes.c_void_p(arr.ctypes.data)
-    none_addr = ctypes.c_void_p(id(None))
-    str_addr = ctypes.c_void_p(id(str))
     rc = lib.strsim_scan_object_column(
-        objs,
+        ctypes.c_void_p(objs_addr),
         ctypes.c_int64(n),
-        none_addr,
-        str_addr,
+        ctypes.c_void_p(id(None)),
+        ctypes.c_void_p(id(str)),
         _ptr(lengths, ctypes.c_int32),
         _ptr(validity, ctypes.c_uint8),
         ctypes.byref(all_ascii),
     )
-    if rc < 0:
-        row = int(-rc) - 1
-        raise TypeError(
-            f"expected str or None at row {row}, got {type(arr[row]).__name__}"
-        )
-    max_len = int(rc)
-    w = width if width is not None else max(max_len, 1)
-    if max_len > w:
-        raise ValueError(f"width {w} smaller than longest row ({max_len})")
-    from strsim_tpu.utils.alloc import fast_empty
+    return int(rc), bool(all_ascii.value), lengths, validity
 
-    dtype = np.int8 if all_ascii.value else np.int32
-    codes = fast_empty((n, w), dtype)
-    rc = lib.strsim_encode_object_column(
-        objs,
+
+def encode_object_ptr(
+    objs_addr: int, n: int, width: int, pad: int, codes: np.ndarray
+) -> int:
+    """Pass 2: fill the caller-allocated [n, width] tile (int8 for an
+    all-ASCII column, else int32) from a raw PyObject** array. Returns 0 or
+    row+1 when a row exceeds `width`."""
+    lib = get_lib()
+    lib.strsim_encode_object_column.restype = ctypes.c_int64
+    return int(lib.strsim_encode_object_column(
+        ctypes.c_void_p(objs_addr),
         ctypes.c_int64(n),
-        none_addr,
-        ctypes.c_int32(w),
+        ctypes.c_void_p(id(None)),
+        ctypes.c_int32(width),
         ctypes.c_int32(pad),
         ctypes.c_int32(codes.dtype.itemsize),
         ctypes.c_void_p(codes.ctypes.data),
-    )
-    if rc != 0:
-        raise ValueError(f"row {rc - 1} longer than tile width {w}")
-    return codes, lengths, validity.view(bool)
+    ))
 
 
 def equal_rows_native(
@@ -150,7 +135,7 @@ def pack_bucket(
     sel64 = np.ascontiguousarray(sel, dtype=np.int64)
     la = np.ascontiguousarray(len_a, dtype=np.int32)
     lb = np.ascontiguousarray(len_b, dtype=np.int32)
-    packed = fast_empty((n_out, 2 * width), codes_a.dtype)
+    packed = fast_empty((n_out, 2 * width), codes_a.dtype, populate=False)
     lens = np.empty((n_out, 2), dtype=np.int32)
     lib.strsim_pack_bucket(
         ctypes.c_void_p(codes_a.ctypes.data),
@@ -194,7 +179,7 @@ def decode_utf8_column(
     )
     from strsim_tpu.utils.alloc import fast_empty
 
-    codes = fast_empty((n, width), np.int32)
+    codes = fast_empty((n, width), np.int32, populate=(lib is None))
     lengths = np.empty(n, dtype=np.int32)
     if lib is None:
         return _decode_utf8_py(data, offsets, val, width, pad, codes, lengths)

@@ -48,8 +48,15 @@ def _get_libc():
     return _libc or None
 
 
-def fast_empty(shape, dtype) -> np.ndarray:
-    """np.empty drop-in that avoids the slow 4 KiB first-touch fault path."""
+def fast_empty(shape, dtype, populate: bool = True) -> np.ndarray:
+    """np.empty drop-in that avoids the slow 4 KiB first-touch fault path.
+
+    populate=False skips MADV_POPULATE_WRITE and leaves fault service to the
+    consumer's first write. Use it when a THREADED writer immediately fills
+    the whole buffer (the native encode/pack passes): 8 threads fault 2 MiB
+    huge pages in parallel, measured ~1.4x faster end-to-end than the single
+    POPULATE_WRITE syscall (16.9 vs 23.2 ms for a 48 MB tile, round 5).
+    Keep populate=True when the first writer is single-threaded numpy."""
     dtype = np.dtype(dtype)
     if isinstance(shape, (int, np.integer)):
         shape = (int(shape),)
@@ -66,7 +73,7 @@ def fast_empty(shape, dtype) -> np.ndarray:
     except Exception:
         pass
     libc = _get_libc()
-    if libc is not None:
+    if populate and libc is not None:
         try:
             view = ctypes.c_char.from_buffer(m)
             libc.madvise(ctypes.addressof(view), nbytes, _MADV_POPULATE_WRITE)

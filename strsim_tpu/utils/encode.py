@@ -61,6 +61,71 @@ class EncodedColumn:
         )
 
 
+# CPython list fast path: a PyListObject's ob_item field IS the PyObject**
+# array the native scan/encode passes consume — reading it directly skips the
+# 1M-row object-ndarray copy (~32 ms per column at 1M rows). The field offset
+# (24 = PyObject_VAR_HEAD on 64-bit builds) is validated at first use by a
+# probe list whose item addresses must read back equal to their id()s; any
+# mismatch (or a non-CPython / free-threaded build) disables the path forever.
+_LIST_ITEMS_OFFSET: Optional[int] = None  # None=unprobed, -1=disabled
+
+
+def _list_items_addr(lst: list) -> Optional[int]:
+    """Address of `lst`'s PyObject** item array, or None if unavailable.
+    Caller must keep `lst` alive and un-resized while the address is in use
+    (appends can realloc ob_item)."""
+    global _LIST_ITEMS_OFFSET
+    import ctypes
+
+    if _LIST_ITEMS_OFFSET is None:
+        import sys
+
+        ok = False
+        if (
+            sys.implementation.name == "cpython"
+            and sys.maxsize > 2**32
+            and sys.getsizeof([]) == 56  # PyObject(16)+size(8)+ob_item(8)+alloc(8)+GC(16)
+        ):
+            probe = [None, "probe", 3.5]
+            addr = ctypes.c_void_p.from_address(id(probe) + 24).value
+            if addr:
+                items = (ctypes.c_void_p * 3).from_address(addr)
+                ok = all((items[i] or 0) == id(probe[i]) for i in range(3))
+        _LIST_ITEMS_OFFSET = 24 if ok else -1
+    if _LIST_ITEMS_OFFSET < 0 or not lst:
+        return None
+    return ctypes.c_void_p.from_address(id(lst) + _LIST_ITEMS_OFFSET).value
+
+
+def _column_objects(col):
+    """Normalize a column to (objs_addr, n, keepalive) where objs_addr points
+    at n contiguous PyObject*s and keepalive[i] is row i (for error messages).
+    Returns None for inputs the raw-pointer paths don't serve (pyarrow /
+    ArrowStringColumn take the buffer route; empty columns take the legacy
+    path so width/dtype defaults stay identical)."""
+    if hasattr(col, "offsets") and hasattr(col, "encode"):
+        return None  # ArrowStringColumn: native UTF-8 buffer route is faster
+    if type(col).__module__.split(".")[0] == "pyarrow":
+        return None
+    if type(col) is list:
+        addr = _list_items_addr(col)
+        if addr is not None:
+            return addr, len(col), col
+    if (
+        isinstance(col, np.ndarray)
+        and col.dtype == object
+        and col.ndim == 1
+        and col.flags.c_contiguous
+        and col.shape[0]
+    ):
+        # an object ndarray's data buffer is already the PyObject** array
+        return col.ctypes.data, col.shape[0], col
+    arr = _to_object_array(col)
+    if arr.shape[0] == 0:
+        return None
+    return arr.ctypes.data, arr.shape[0], arr
+
+
 def _to_object_array(col) -> np.ndarray:
     """Normalize any supported column input to a 1-D object ndarray of str|None."""
     # polars Series / arrow arrays expose to_list; plain lists/tuples pass through.
@@ -91,13 +156,21 @@ def encode_column(col, pad: int = PAD_A, width: Optional[int] = None) -> Encoded
         from strsim_tpu.utils.arrow_io import ArrowStringColumn
 
         return ArrowStringColumn.from_pyarrow(col).encode(pad=pad, width=width)
-    arr = _to_object_array(col)
-    obj = _encode_objects(arr, pad, width)
-    if obj is not None:
-        return obj
+    co = _column_objects(col)
+    if co is not None:
+        # raw PyObject** route: list ob_item / object-ndarray data, no copy
+        obj = _encode_objects_ptr(co[0], co[1], co[2], pad, width)
+        if obj is not None:
+            return obj
+    arr = (
+        co[2]
+        if co is not None and isinstance(co[2], np.ndarray)
+        else _to_object_array(col)
+    )
     fast = _encode_fast(arr, pad, width)
     if fast is not None:
         return fast
+    arr = arr.copy()  # the null-replacement below must not mutate caller data
     n = arr.shape[0]
     validity = np.ones(n, dtype=bool)
     for i, v in enumerate(arr):
@@ -137,21 +210,48 @@ def _encode_objects(arr: np.ndarray, pad: int, width: Optional[int]) -> Optional
     of CPython's compact unicode structs (threaded, no UTF-8 round-trip, no
     Python-level passes), yielding an int8 tile when the column is pure ASCII
     (4x less memory and device transfer). Returns None when the native
-    library is absent or the column holds str subclasses."""
+    library is absent."""
+    if arr.shape[0] == 0:
+        return None
+    return _encode_objects_ptr(arr.ctypes.data, arr.shape[0], arr, pad, width)
+
+
+def _encode_objects_ptr(
+    objs_addr: int, n: int, rows, pad: int, width: Optional[int]
+) -> Optional[EncodedColumn]:
+    """Native encode over a raw PyObject** array (`rows[i]` must be row i —
+    a list or object ndarray kept alive by the caller)."""
     try:
-        from strsim_tpu.native.binding import encode_object_column
+        from strsim_tpu.native import binding as nb
+
+        if nb.get_lib() is None:
+            return None
     except Exception:
         return None
     try:
-        out = encode_object_column(arr, pad, width)
-    except (TypeError, ValueError):
-        raise
+        scan = nb.scan_object_ptr(objs_addr, n)
     except Exception:
         return None
-    if out is None:
+    if scan is None:
         return None
-    codes, lengths, validity = out
-    return EncodedColumn(codes=codes, lengths=lengths, validity=validity)
+    rc, all_ascii, lengths, validity = scan
+    if rc < 0:
+        row = -rc - 1
+        raise TypeError(
+            f"expected str or None at row {row}, got {type(rows[row]).__name__}"
+        )
+    w = width if width is not None else max(rc, 1)
+    if rc > w:
+        raise ValueError(f"width {w} smaller than longest row ({rc})")
+    from strsim_tpu.utils.alloc import fast_empty
+
+    dtype = np.int8 if all_ascii else np.int32
+    codes = fast_empty((n, w), dtype, populate=False)
+    erc = nb.encode_object_ptr(objs_addr, n, w, pad, codes)
+    if erc != 0:
+        raise ValueError(f"row {erc - 1} longer than tile width {w}")
+    return EncodedColumn(codes=codes, lengths=lengths,
+                         validity=validity.view(bool))
 
 
 def _encode_fast(arr: np.ndarray, pad: int, width: Optional[int]) -> Optional[EncodedColumn]:
@@ -213,12 +313,69 @@ def encode_pair(
     col_a, col_b, width: Optional[int] = None
 ) -> Tuple[EncodedColumn, EncodedColumn]:
     """Encode two columns with a shared tile width (needed by paired kernels)."""
+    joint = _encode_pair_native(col_a, col_b, width)
+    if joint is not None:
+        return joint
     a = encode_column(col_a, pad=PAD_A, width=None)
     b = encode_column(col_b, pad=PAD_B, width=None)
     w = width if width is not None else max(a.width, b.width)
     a = _repad(a, PAD_A, w)
     b = _repad(b, PAD_B, w)
     return a, b
+
+
+def _encode_pair_native(
+    col_a, col_b, width: Optional[int]
+) -> Optional[Tuple[EncodedColumn, EncodedColumn]]:
+    """Joint native encode: scan BOTH columns first (threaded length/ASCII
+    pass, ~1 ms/M rows), then encode each straight into the shared-width tile
+    — no post-hoc `_repad` (one alloc + full copy saved per call) and one
+    consistent dtype for the pair (int8 iff both sides are pure ASCII).
+    Returns None when any piece of the native path does not apply; the caller
+    falls back to the per-column path. ~3x the per-column path's throughput
+    at 1M rows (round-5 profile: repad 41 ms + second alloc 18 ms +
+    object-array copies 64 ms all eliminated via the list ob_item route)."""
+    try:
+        from strsim_tpu.native import binding as nb
+
+        if nb.get_lib() is None:
+            return None
+    except Exception:
+        return None
+    ca = _column_objects(col_a)
+    cb = _column_objects(col_b)
+    if ca is None or cb is None:
+        return None
+    sa = nb.scan_object_ptr(ca[0], ca[1])
+    sb = nb.scan_object_ptr(cb[0], cb[1])
+    if sa is None or sb is None:
+        return None
+    for scan, keep in ((sa, ca[2]), (sb, cb[2])):
+        if scan[0] < 0:
+            row = -scan[0] - 1
+            raise TypeError(
+                f"expected str or None at row {row}, got {type(keep[row]).__name__}"
+            )
+    max_len = max(sa[0], sb[0])
+    w = width if width is not None else max(max_len, 1)
+    if max_len > w:
+        raise ValueError(f"width {w} smaller than longest row ({max_len})")
+    from strsim_tpu.utils.alloc import fast_empty
+
+    dtype = np.int8 if (sa[1] and sb[1]) else np.int32
+    out = []
+    for (addr, n, keep), (_, _, lengths, validity), pad in (
+        (ca, sa, PAD_A),
+        (cb, sb, PAD_B),
+    ):
+        # populate=False: the threaded encode pass first-touches every byte
+        codes = fast_empty((n, w), dtype, populate=False)
+        rc = nb.encode_object_ptr(addr, n, w, pad, codes)
+        if rc != 0:
+            raise ValueError(f"row {rc - 1} longer than tile width {w}")
+        out.append(EncodedColumn(codes=codes, lengths=lengths,
+                                 validity=validity.view(bool)))
+    return out[0], out[1]
 
 
 def _repad(c: EncodedColumn, pad: int, width: int) -> EncodedColumn:

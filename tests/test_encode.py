@@ -149,6 +149,81 @@ def test_fast_empty_is_writable_and_correct_shape():
         assert (a == 3).all()
 
 
+# --- round-5 joint/raw-pointer encode paths ---------------------------------
+
+
+def test_encode_pair_list_and_ndarray_routes_agree():
+    """The list ob_item route, the object-ndarray data route, and the legacy
+    per-column path must produce identical tiles."""
+    col_a = ["smith", None, "", "héllo", "a" * 40]
+    col_b = ["smyth", "x", None, "hello", "b"]
+    arr_a = np.empty(5, object); arr_a[:] = col_a
+    arr_b = np.empty(5, object); arr_b[:] = col_b
+    a1, b1 = enc.encode_pair(col_a, col_b)
+    a2, b2 = enc.encode_pair(arr_a, arr_b)
+    for x, y in ((a1, a2), (b1, b2)):
+        assert x.codes.dtype == y.codes.dtype
+        assert (x.codes == y.codes).all()
+        assert (x.lengths == y.lengths).all()
+        assert (x.validity == y.validity).all()
+    assert a1.width == b1.width
+
+
+def test_encode_pair_joint_dtype_consistent():
+    """Joint path: one shared dtype for the pair — int8 only when BOTH sides
+    are pure ASCII (previously a could be int8 while b was int32)."""
+    a, b = enc.encode_pair(["abc"], ["héllo"])
+    if a.codes.dtype == np.int32:  # native joint path active
+        assert b.codes.dtype == np.int32
+    a, b = enc.encode_pair(["abc"], ["xyzw"])
+    assert a.codes.dtype == b.codes.dtype
+
+
+def test_encode_pair_errors_match_per_column_path():
+    with pytest.raises(TypeError, match="row 1"):
+        enc.encode_pair(["ok", 3], ["ok", "ok"])
+    with pytest.raises(TypeError, match="row 0"):
+        enc.encode_pair(["ok", "ok"], [b"bytes", "ok"])
+    with pytest.raises(ValueError):
+        enc.encode_pair(["abcdef"], ["ab"], width=3)
+
+
+def test_encode_pair_explicit_width_and_broadcast_lengths():
+    a, b = enc.encode_pair(["ab"], ["x", "yy", None], width=7)
+    assert a.width == b.width == 7
+    assert a.n == 1 and b.n == 3
+    assert (a.codes[0, 2:] == enc.PAD_A).all()
+    assert (b.codes[2] == enc.PAD_B).all() and not b.validity[2]
+
+
+def test_encode_column_does_not_mutate_caller_array(monkeypatch):
+    """The numpy fallback replaces None with '' — on a COPY, never on the
+    caller's ndarray (round 5: the raw-pointer route hands the caller's own
+    buffer downstream)."""
+    monkeypatch.setattr(enc, "_encode_objects_ptr", lambda *a, **k: None)
+    monkeypatch.setattr(enc, "_encode_fast", lambda *a, **k: None)
+    arr = np.empty(3, object)
+    arr[:] = ["a", None, "c"]
+    e = enc.encode_column(arr)
+    assert arr[1] is None
+    assert not e.validity[1]
+
+
+def test_list_items_addr_self_validates():
+    """The CPython layout probe must either validate (and then agree with
+    id()s on a fresh list) or disable the path — never return garbage."""
+    lst = ["x", None, "z"]
+    addr = enc._list_items_addr(lst)
+    if addr is None:
+        assert enc._LIST_ITEMS_OFFSET == -1
+        return
+    import ctypes
+
+    items = (ctypes.c_void_p * 3).from_address(addr)
+    assert [items[i] for i in range(3)] == [id(v) for v in lst]
+    assert enc._list_items_addr([]) is None
+
+
 def test_pack_bucket_matches_numpy_pack():
     from strsim_tpu.native.binding import pack_bucket
 
