@@ -261,6 +261,18 @@ def _group_shards(shared: np.ndarray, num_shards: int) -> np.ndarray:
     )
 
 
+def _first_key_owned(prev_keys, qi: np.ndarray, ci: np.ndarray) -> np.ndarray:
+    """Mask of pairs NOT blocked by any earlier key spec: under a multi-key
+    union, a pair blocked by several keys is OWNED by its first blocking key.
+    Later keys skip it, so each pair is scored once (instead of scored per
+    key and deduped at the end) and, under key-group sharding, emitted by
+    exactly one worker. prev_keys: [(keys_array, valid_mask), ...]."""
+    own = np.ones(qi.shape[0], dtype=bool)
+    for ke, vm in prev_keys:
+        own &= ~(vm[qi] & vm[ci] & (ke[qi] == ke[ci]))
+    return own
+
+
 def iter_blocked_pairs(
     query_keys: np.ndarray,
     cand_keys: np.ndarray,
@@ -577,16 +589,24 @@ def dedup_blocked(
     a = enc.encode_column(names, pad=enc.PAD_A)
     b = enc.encode_column(names, pad=enc.PAD_B)
     keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
-    # Under a multi-key union, shard by PAIR hash (not key group): a pair
-    # blocked by two keys whose groups hash to different shards would
-    # otherwise be emitted by both workers — the per-process cross-key
-    # dedup can't see across shards. Pair-level assignment keeps every
-    # (i, j) in exactly one shard regardless of which key found it.
-    pair_shard = shard is not None and len(keys_list) > 1
-    if pair_shard and not (0 <= shard < num_shards):
+    multi = len(keys_list) > 1
+    # Blocks are only ever DROPPED under oversize="skip" with a limit set;
+    # everywhere else "an earlier key blocks this pair" ⇔ "an earlier key
+    # enumerated this pair", which first-key ownership relies on.
+    no_drops = max_block_candidates is None or oversize != "skip"
+    # Multi-key union + sharding. Preferred scheme (no_drops): shard KEY
+    # GROUPS per key spec — enumeration itself is sharded (each worker walks
+    # only its own groups), and first-key ownership (_first_key_owned) keeps
+    # a pair blocked by several keys in exactly one worker: the pair's first
+    # blocking key has one group, that group one shard. Fallback (droppable
+    # blocks): every worker enumerates ALL pairs and keeps its slice by pair
+    # hash — correct but duplicates enumeration cost across workers.
+    pair_shard = shard is not None and multi and not no_drops
+    if shard is not None and not (0 <= shard < num_shards):
         raise ValueError(f"shard {shard} out of range for num_shards {num_shards}")
     # stream pair chunks; only pairs clearing the threshold are retained
     out_i, out_j, out_s = [], [], []
+    prev_keys = []
     for kspec in keys_list:
         keys = _keys_for(a, names, kspec)
         for qi, ci in iter_blocked_pairs(
@@ -599,6 +619,11 @@ def dedup_blocked(
             shard=None if pair_shard else shard,
             num_shards=1 if pair_shard else num_shards,
         ):
+            if prev_keys and no_drops:
+                own = _first_key_owned(prev_keys, qi, ci)
+                qi, ci = qi[own], ci[own]
+                if qi.size == 0:
+                    continue
             if pair_shard:
                 packed = (qi * np.int64(max(a.n, 1)) + ci).astype(np.uint64)
                 mix = (packed * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
@@ -611,6 +636,8 @@ def dedup_blocked(
             out_i.append(qi[hit])
             out_j.append(ci[hit])
             out_s.append(scores[hit])
+        if multi and no_drops:
+            prev_keys.append((keys, _valid_key_mask(keys)))
     if not out_i:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.float64)
@@ -794,13 +821,16 @@ def dedup_records_blocked(
     qa_cols = [enc.encode_column(c, pad=enc.PAD_A) for c in cols]
     cb_cols = [enc.encode_column(c, pad=enc.PAD_B) for c in cols]
     keys_list = list(key) if isinstance(key, (tuple, list)) else [key]
-    # multi-key + sharding: assign PAIRS (not key groups) to shards so a pair
-    # blocked by two keys lands in exactly one shard (same scheme as
-    # dedup_blocked)
-    pair_shard = shard is not None and len(keys_list) > 1
-    if pair_shard and not (0 <= shard < num_shards):
+    multi = len(keys_list) > 1
+    # multi-key + sharding: key-group sharded enumeration with first-key
+    # pair ownership when no block can be dropped; pair-hash fallback with
+    # duplicated enumeration otherwise (see dedup_blocked for the scheme)
+    no_drops = max_block_candidates is None or oversize != "skip"
+    pair_shard = shard is not None and multi and not no_drops
+    if shard is not None and not (0 <= shard < num_shards):
         raise ValueError(f"shard {shard} out of range for num_shards {num_shards}")
     out_i, out_j, out_s = [], [], []
+    prev_keys = []
     for kspec in keys_list:
         keys = _keys_for(qa_cols[key_field], cols[key_field], kspec)
         for qi, ci in iter_blocked_pairs(
@@ -813,6 +843,11 @@ def dedup_records_blocked(
             shard=None if pair_shard else shard,
             num_shards=1 if pair_shard else num_shards,
         ):
+            if prev_keys and no_drops:
+                own = _first_key_owned(prev_keys, qi, ci)
+                qi, ci = qi[own], ci[own]
+                if qi.size == 0:
+                    continue
             if pair_shard:
                 packed = (qi * np.int64(max(n, 1)) + ci).astype(np.uint64)
                 mix = (packed * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
@@ -827,6 +862,8 @@ def dedup_records_blocked(
             out_i.append(qi[hit])
             out_j.append(ci[hit])
             out_s.append(scores[hit])
+        if multi and no_drops:
+            prev_keys.append((keys, _valid_key_mask(keys)))
     if not out_i:
         z = np.zeros(0, dtype=np.int64)
         return z, z, np.zeros(0, dtype=np.float64)
@@ -846,7 +883,7 @@ def dedup_blocked_stream(
     measure: str = "jaro_winkler",
     threshold: float = 0.9,
     *,
-    key: Union[str, Callable] = "soundex",
+    key: Union[str, Callable] = None,
     journal=None,
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,
@@ -874,6 +911,22 @@ def dedup_blocked_stream(
 
     The union of this generator's output over all chunks equals
     dedup_blocked's rows (dedup_blocked additionally globally sorts)."""
+    if key is None:
+        # 0.4.0 moved the BATCH APIs' default to the 3-key union; the stream
+        # keeps single-key "soundex" (union needs cross-chunk dedup, which
+        # the journal contract forbids) — so batch vs stream recall now
+        # differs ~2x BY DEFAULT. Warn callers relying on the implicit
+        # default once per release cycle (ADVICE r4): pass key= to silence.
+        warnings.warn(
+            "dedup_blocked_stream defaults to single-key 'soundex' blocking, "
+            "while dedup_blocked defaults to the 3-key union "
+            "(DEFAULT_BLOCKING_KEYS) since 0.4.0 — expect ~2x lower recall "
+            "than the batch API. Pass key='soundex' explicitly (or one "
+            "stream per union key; see docstring) to silence this warning.",
+            FutureWarning,
+            stacklevel=2,
+        )
+        key = "soundex"
     (measure,) = resolve_measures(measure)
     cfg = config or get_config()
     names = _maybe_pre(names, preprocess)

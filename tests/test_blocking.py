@@ -182,6 +182,74 @@ def test_key_sharding_partitions_exactly():
     assert allp == set(zip(i0.tolist(), j0.tolist()))
 
 
+def test_multikey_shard_droppable_blocks_fallback():
+    """With max_block_candidates + oversize='skip', 'an earlier key blocks
+    this pair' no longer implies 'an earlier key enumerated it' (the block
+    may have been dropped) — first-key ownership and group-sharded
+    enumeration are both invalid, so the pair-hash fallback must kick in:
+    shard union == unsharded result under the SAME dropping parameters,
+    disjoint, and no pair owed to a skipped first-key block goes missing."""
+    names = _names(300, seed=33)
+    kw = dict(key=("soundex", "prefix"), max_block_candidates=12,
+              oversize="skip")
+    with pytest.warns(RuntimeWarning, match="oversized"):
+        i0, j0, _ = dedup_blocked(names, "jaro", threshold=0.85, **kw)
+    want = set(zip(i0.tolist(), j0.tolist()))
+    got = []
+    for s in range(3):
+        with pytest.warns(RuntimeWarning, match="oversized"):
+            i, j, _ = dedup_blocked(names, "jaro", threshold=0.85,
+                                    shard=s, num_shards=3, **kw)
+        got.extend(zip(i.tolist(), j.tolist()))
+    assert len(got) == len(set(got)), "duplicate pairs across shards"
+    assert set(got) == want
+    # sanity: dropping actually changed the pair set vs the no-limit run
+    iF, jF, _ = dedup_blocked(names, "jaro", threshold=0.85,
+                              key=("soundex", "prefix"))
+    assert want < set(zip(iF.tolist(), jF.tolist()))
+
+
+def test_multikey_first_key_ownership_scores_once():
+    """Under the multi-key union (no droppable blocks), a pair blocked by
+    several keys is SCORED once (first-key ownership), not scored per key
+    and deduped at the end — count scoring work via a probe measure call."""
+    from strsim_tpu.models import blocking as bk
+
+    names = ["smith", "smithe", "smath"] * 4 + [None, ""]
+    calls = []
+    orig = bk._score_pairs
+
+    def probe(a, b, qi, ci, measure, cfg, chunk):
+        calls.append(qi.size)
+        return orig(a, b, qi, ci, measure, cfg, chunk)
+
+    try:
+        bk._score_pairs = probe
+        i0, j0, _ = bk.dedup_blocked(names, "jaro", threshold=0.5,
+                                     key=("soundex", "prefix"))
+    finally:
+        bk._score_pairs = orig
+    pairs = list(zip(i0.tolist(), j0.tolist()))
+    assert len(pairs) == len(set(pairs))
+    # every scored pair is unique across ALL calls: total scored == emitted
+    # candidate count (each candidate pair scored exactly once)
+    n_scored = sum(calls)
+    # reconstruct the union candidate set (threshold-independent)
+    from strsim_tpu.utils import encode as enc
+
+    col = enc.encode_column(names, pad=enc.PAD_A)
+    keys_a = bk._keys_for(col, names, "soundex")
+    keys_p = bk._keys_for(col, names, "prefix")
+    cand = set()
+    for ks in (keys_a, keys_p):
+        for qi, ci in bk.iter_blocked_pairs(ks, ks, ordered_only=True):
+            cand.update(zip(qi.tolist(), ci.tolist()))
+    assert n_scored == len(cand), (
+        f"scored {n_scored} pair-evaluations for {len(cand)} unique "
+        "candidates — first-key ownership should score each exactly once"
+    )
+
+
 def test_multikey_union():
     """key=("soundex","prefix"): candidates reachable under EITHER key
     compete; pairs found via both keys rank/emit once."""
@@ -320,9 +388,14 @@ def test_dedup_blocked_stream_restart(tmp_path):
 
     journal = RunJournal(str(tmp_path / "j.jsonl"))
     got = set()
+    # relying on the implicit single-key default warns (batch APIs moved to
+    # the 3-key union in 0.4.0 — the recall mismatch must not be silent)
+    with pytest.warns(FutureWarning, match="3-key union"):
+        next(iter(dedup_blocked_stream(names, "jaro", threshold=0.9)))
     # first pass: store + mark only the first chunk, then "crash"
     for cid, i, j, s in dedup_blocked_stream(
-        names, "jaro", threshold=0.9, journal=journal, pair_chunk=500
+        names, "jaro", threshold=0.9, key="soundex", journal=journal,
+        pair_chunk=500,
     ):
         got.update(zip(i.tolist(), j.tolist()))
         journal.mark_done(cid)
@@ -332,7 +405,8 @@ def test_dedup_blocked_stream_restart(tmp_path):
     journal2 = RunJournal(str(tmp_path / "j.jsonl"))
     seen_ids = []
     for cid, i, j, s in dedup_blocked_stream(
-        names, "jaro", threshold=0.9, journal=journal2, pair_chunk=500
+        names, "jaro", threshold=0.9, key="soundex", journal=journal2,
+        pair_chunk=500,
     ):
         seen_ids.append(cid)
         got.update(zip(i.tolist(), j.tolist()))

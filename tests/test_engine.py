@@ -1,4 +1,11 @@
-"""StrsimEngine session API + polars expression layer (skipped without polars)."""
+"""StrsimEngine session API + polars expression layer.
+
+Every expression-contract test runs against minipl always and against real
+polars when importable (`_backends`). With STRSIM_REQUIRE_POLARS=1 (set by
+the `polars` CI job), a missing/broken polars install FAILS the suite loudly
+instead of silently exercising only minipl (VERDICT r4 item 8)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -32,6 +39,20 @@ def _backends():
     except ImportError:
         pass
     return out
+
+
+def test_required_polars_backend_present():
+    """The polars CI job sets STRSIM_REQUIRE_POLARS=1: if polars then fails
+    to import (broken wheel, version conflict), every parametrized contract
+    test would silently run minipl-only — this guard makes that drift a loud
+    failure instead of a green lie."""
+    if not os.environ.get("STRSIM_REQUIRE_POLARS"):
+        pytest.skip("STRSIM_REQUIRE_POLARS not set (dev sandbox has no polars)")
+    names = [n for n, _ in _backends()]
+    assert "polars" in names, (
+        "STRSIM_REQUIRE_POLARS=1 but real polars is not importable — the "
+        "contract tests below would cover only minipl"
+    )
 
 
 @pytest.mark.parametrize("name,pl", _backends())
@@ -108,6 +129,63 @@ def test_polars_readme_demo_table(name, pl):
     for m, exp in want.items():
         got = df[m].to_list()
         assert got == exp, (m, got)
+
+
+@pytest.mark.parametrize("name,pl", _backends())
+def test_expression_alias_override(name, pl):
+    """A user .alias() chained after the measure expr must rename the output
+    column (the binding pre-aliases to the measure name internally —
+    polars_compat.build_expr's .alias(measure) must not pin the name)."""
+    from strsim_tpu import levenshtein
+
+    df = pl.DataFrame({"a": ["smith", "smyth"]}).with_columns(
+        levenshtein(pl.col("a"), pl.lit("smith")).alias("my_score")
+    )
+    assert "my_score" in df.columns
+    assert df["my_score"].to_list() == [1.0, 0.8]
+
+
+@pytest.mark.parametrize("name,pl", _backends())
+def test_expression_struct_field_no_collision(name, pl):
+    """Two strsim exprs over overlapping columns in ONE with_columns: both
+    build internal structs with the same field names (__strsim_a/__strsim_b);
+    the engine (and real polars' CSE) must keep them distinct, and struct
+    fields must resolve by NAME, not position."""
+    from strsim_tpu import jaro, levenshtein
+
+    df = pl.DataFrame({"a": ["night", "abc"], "b": ["nacht", "acb"]}).with_columns(
+        lev_ab=levenshtein(pl.col("a"), pl.col("b")),
+        lev_ba=levenshtein(pl.col("b"), pl.col("a")),
+        jaro_ab=jaro(pl.col("a"), pl.col("b")),
+    )
+    from strsim_tpu.ops.oracle import ORACLES
+
+    for i, (x, y) in enumerate([("night", "nacht"), ("abc", "acb")]):
+        assert df["lev_ab"].to_list()[i] == ORACLES["levenshtein"](x, y)
+        assert df["lev_ba"].to_list()[i] == ORACLES["levenshtein"](y, x)
+        assert df["jaro_ab"].to_list()[i] == ORACLES["jaro"](x, y)
+
+
+@pytest.mark.parametrize("name,pl", _backends())
+def test_expression_lazy_streaming_engine(name, pl):
+    """is_elementwise=True through the REAL streaming engine: lazy collect
+    with engine='streaming' must match eager row-for-row (the reference
+    registers its plugin with the same flag — polars_strsim/__init__.py).
+    minipl's chunked analogue is test_minipl_streaming_chunks."""
+    if not hasattr(pl, "LazyFrame"):
+        pytest.skip("streaming engine is real-polars-only")
+    from strsim_tpu import jaro_winkler
+
+    data = {"a": ["phillips", None, "", "jonsen"] * 8, "b": ["philips"] * 32}
+    eager = pl.DataFrame(data).with_columns(
+        jw=jaro_winkler(pl.col("a"), pl.col("b"))
+    )
+    lazy = (
+        pl.DataFrame(data).lazy()
+        .with_columns(jw=jaro_winkler(pl.col("a"), pl.col("b")))
+        .collect(engine="streaming")
+    )
+    assert eager["jw"].to_list() == lazy["jw"].to_list()
 
 
 def test_minipl_streaming_chunks():

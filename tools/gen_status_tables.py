@@ -4,12 +4,38 @@ so doc numbers are regenerated, never hand-carried (VERDICT r2 item 9 — the
 round-2 tables drifted because they were edited by hand).
 
 Usage: python tools/gen_status_tables.py   (prints markdown to stdout)
+
+Refuses to run on a dirty git tree (VERDICT r4 item 7): the tables these
+numbers land in must provably match COMMITTED artifacts, not working-tree
+state. Override for local iteration with STRSIM_ALLOW_DIRTY=1.
 """
 import json
 import os
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _require_clean_tree():
+    if os.environ.get("STRSIM_ALLOW_DIRTY"):
+        return
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+    except Exception:
+        return  # not a git checkout (e.g. sdist) — nothing to enforce
+    # PROGRESS.jsonl is driver-owned telemetry, continuously rewritten
+    dirty = [l for l in out.splitlines() if l.strip()
+             and not l.endswith("PROGRESS.jsonl")]
+    if dirty:
+        sys.exit(
+            "gen_status_tables: refusing to run on a dirty tree — commit the "
+            "benchmark artifacts first so docs match committed evidence "
+            "(STRSIM_ALLOW_DIRTY=1 to override):\n" + "\n".join(dirty)
+        )
 
 
 def _load(name):
@@ -94,6 +120,7 @@ def scaling_table(mh) -> str:
 
 
 def main():
+    _require_clean_tree()
     details = _load("BENCH_DETAILS.json")
     link = _load("BENCH_LINKAGE.json")
     mh = _load("MULTIHOST_MEASURED.json")
