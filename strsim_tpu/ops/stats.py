@@ -322,24 +322,44 @@ def compute_stats(
     for msr in measures:
         need.update(STAT_FIELDS[msr])
     out: Dict[str, Array] = {}
+    _jaro_packs = {"pallas_scan": 4, "pallas_scan_h": 2, "pallas_scan_f": 1}
     if (
         "lev_d" in need
         and "jaro_m" in need
         and impl.get("levenshtein") == "pallas_scan"
-        and impl.get("jaro") == "pallas_scan"
+        and impl.get("jaro") in _jaro_packs
     ):
         # fused-measure mode: lev's Eq and jaro's EqB are transposes of one
         # L x L equality matrix; the shared-equality kernel computes it once
         # and serves both recurrences (ops/lev_jaro_pallas.py — measured
-        # 1.69-1.80x over the two separate kernels on v5e, FUSED_LJ_AB.json).
-        # Single-flag-word int8 widths only; other shapes fall through to
-        # the separate kernels below.
+        # 1.69-1.80x over the two separate kernels on v5e, FUSED_LJ_AB.json),
+        # derives the multiset cnt_b by popcounting the stored EqB words
+        # (only the occ half is computed fresh), and folds the 4-cap prefix
+        # in for free. One or two flag words (w <= 63); the compaction slot
+        # width follows the jaro impl's pack contract (byte for int8 tiles,
+        # halfword for BMP int32, fullword for astral). Unsupported shapes
+        # fall through to the separate kernels below.
         from strsim_tpu.ops import lev_jaro_pallas as ljp
 
-        if ljp.supports_width(a.shape[1]) and a.dtype.itemsize == 1:
-            out["lev_d"], out["jaro_m"], out["jaro_t"] = ljp.lev_jaro_stats_pallas(
-                a, b, len_a, len_b
+        pack = _jaro_packs[impl.get("jaro")]
+        if ljp.supports_width(a.shape[1]) and (
+            pack != 4 or a.dtype.itemsize == 1
+        ):
+            with_inter = (
+                "inter" in need and impl.get("multiset") == "pallas_scan"
             )
+            with_prefix = "prefix" in need
+            res = ljp.fused_stats_pallas(
+                a, b, len_a, len_b,
+                with_inter=with_inter, with_prefix=with_prefix, pack=pack,
+            )
+            out["lev_d"], out["jaro_m"], out["jaro_t"] = res[:3]
+            k = 3
+            if with_inter:
+                out["inter"] = res[k]
+                k += 1
+            if with_prefix:
+                out["prefix"] = res[k]
     if "lev_d" in need and "lev_d" not in out:
         lev_impl = impl.get("levenshtein", "myers")
         if lev_impl == "pallas_scan":

@@ -555,6 +555,132 @@ def test_fused_lev_jaro_dispatch_via_compute_stats():
     assert np.asarray(fused["jaro_t"]).tolist() == np.asarray(sep_jaro["jaro_t"]).tolist()
 
 
+def test_fused_five_kernel_parity():
+    """Round-5 fused-FIVE kernel: with_inter/with_prefix outputs vs the
+    oracle at W=1 widths and every compaction slot width. W=2 widths
+    (47/63) are not interpretable in CI time (same XLA:CPU limit as the
+    multiword lev kernel — see test_pallas_scan_fuzz_matches_xla_myers's
+    note) and are held to 262K-row bit-exact TPU parity by
+    tools/ab_fused_five.py (FUSED_FIVE_AB.json); their only genuinely new
+    logic, the blocked 64x64 transpose, is oracle-checked below."""
+    from collections import Counter
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops import lev_jaro_pallas as ljp
+    from strsim_tpu.ops import oracle
+    from strsim_tpu.utils import encode as enc
+
+    assert ljp.supports_width(63) and not ljp.supports_width(65)
+
+    rng = np.random.default_rng(20260820)
+    for width, pack, base in ((7, 4, 97), (15, 4, 97), (31, 4, 97),
+                              (15, 2, 0x4E00), (15, 1, 0x1D100)):
+        n = 64
+        cols = []
+        for _ in range(2):
+            out = []
+            for _ in range(n):
+                ln = int(rng.integers(0, width + 1))
+                out.append("".join(chr(base + int(c))
+                                   for c in rng.integers(0, 5, ln)))
+            cols.append(out)
+        cols[0][:6] = ["", "", "a", "a", "b", "ab"]
+        cols[1][:6] = ["", "x", "a", "b", "b", "ba"]
+        a = enc.encode_column(cols[0], pad=enc.PAD_A, width=width)
+        b = enc.encode_column(cols[1], pad=enc.PAD_B, width=width)
+        ca, cb = a.codes, b.codes
+        if pack < 4:
+            ca, cb = ca.astype(np.int32), cb.astype(np.int32)
+        args = (jnp.asarray(ca), jnp.asarray(cb),
+                jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+        lev, m, t, inter, pref = ljp.fused_stats_pallas(
+            *args, with_inter=True, with_prefix=True, pack=pack)
+        for i in range(n):
+            x, y = cols[0][i], cols[1][i]
+            if x and y:
+                assert int(lev[i]) == oracle.levenshtein_distance(x, y), (
+                    width, pack, i, x, y)
+                if not (len(x) == 1 and len(y) == 1):
+                    wm, wt = oracle.jaro_stats(x, y)
+                    assert (int(m[i]), int(t[i])) == (wm, wt), (
+                        width, pack, i, x, y)
+            csa, csb = Counter(x), Counter(y)
+            want_i = sum(min(csa[c], csb[c]) for c in csa)
+            assert int(inter[i]) == want_i, (width, pack, i, x, y)
+            want_p = 0
+            for k in range(min(4, len(x), len(y))):
+                if x[k] != y[k]:
+                    break
+                want_p += 1
+            assert int(pref[i]) == want_p, (width, pack, i, x, y)
+
+
+def test_fused_blocked_transpose_w2():
+    """The W=2 (64x64 blocked) bit transpose vs a numpy oracle: out word
+    orientation eql[j][w'] bit i == eqj[i][w] bit j at L = 47 and 63 —
+    the only new W=2 logic not shared with TPU-validated kernels."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.lev_jaro_pallas import _transpose_eq
+
+    rng = np.random.default_rng(5)
+    for L in (47, 63):
+        mat = rng.integers(0, 2, size=(L, L)).astype(np.uint64)
+        eqj = []
+        for i in range(L):
+            words = []
+            for w in range(2):
+                bits = mat[i, 32 * w: min(32 * w + 32, L)]
+                val = np.uint32(
+                    (bits << np.arange(bits.size, dtype=np.uint64)).sum()
+                    & 0xFFFFFFFF
+                )
+                words.append(jnp.asarray(val)[None])
+            eqj.append(words)
+        eql = _transpose_eq(eqj, L, 2, (1,))
+        for j in range(L):
+            for i in range(L):
+                got = (int(np.asarray(eql[j][i // 32])[0]) >> (i % 32)) & 1
+                assert got == int(mat[i, j]), (L, i, j)
+
+
+def test_fused_five_dispatch_via_compute_stats():
+    """compute_stats routes the full five-measure stat set through the
+    round-5 mega kernel (one pallas call covering lev_d, jaro_m/t, inter,
+    prefix) — outputs identical to the separate-impl paths, and the fused
+    inter/prefix only activate when their impls/needs line up."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.stats import compute_stats
+    from strsim_tpu.utils import encode as enc
+
+    cols_a = ["phillips", "smith", "a", "", "chamberlain"[:15], "abcab"]
+    cols_b = ["philips", "smyth", "b", "x", "chamberlin"[:15], "bacba"]
+    a = enc.encode_column(cols_a, pad=enc.PAD_A, width=15)
+    b = enc.encode_column(cols_b, pad=enc.PAD_B, width=15)
+    args = (jnp.asarray(a.codes), jnp.asarray(b.codes),
+            jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+    five = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
+    impls = (("levenshtein", "pallas_scan"), ("jaro", "pallas_scan"),
+             ("multiset", "pallas_scan"))
+    fused = compute_stats(*args, five, impls)
+    assert set(fused) == {"lev_d", "jaro_m", "jaro_t", "inter", "prefix"}
+    ref = compute_stats(*args, five, ())  # default XLA impls
+    for k in fused:
+        assert np.asarray(fused[k]).tolist() == np.asarray(ref[k]).tolist(), k
+    # multiset impl not pallas_scan: inter must come from the chosen impl,
+    # fused path still serving lev/jaro/prefix — results identical
+    mixed = compute_stats(*args, five, (("levenshtein", "pallas_scan"),
+                                        ("jaro", "pallas_scan"),
+                                        ("multiset", "chunked")))
+    for k in mixed:
+        assert np.asarray(mixed[k]).tolist() == np.asarray(ref[k]).tolist(), k
+
+
 def test_fused_lev_jaro_fallthrough_conditions():
     """The fused path must NOT activate (and results stay correct via the
     separate kernels) when the width exceeds one flag word, the tiles are
