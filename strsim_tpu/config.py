@@ -80,6 +80,11 @@ class StrsimConfig:
     # tools/ab_osa_pallas.py), XLA kernel elsewhere; "myers" | "pallas_scan"
     # force one.
     osa_impl: str = "auto"
+    # bigram multiset (extension: jaccard_bigram / sorensen_dice_bigram):
+    # "auto" = Pallas unrolled occurrence-rank kernel on TPU at widths <= 63
+    # (16-bit packed tokens on int8 tiles — ops/bigram_pallas.py), XLA scan
+    # elsewhere; "xla" | "pallas_scan" force one.
+    bigram_impl: str = "auto"
 
     # Pallas grid block size (rows per grid step). Must be a multiple of 8.
     pallas_block_rows: int = 256

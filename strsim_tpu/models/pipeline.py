@@ -33,13 +33,17 @@ from strsim_tpu.utils import encode as enc
 from strsim_tpu.utils.encode import EncodedColumn
 
 
-_BATCH_MENU = (512, 4096, 16384, 65536)
+_BATCH_MENU = (512, 4096, 16384, 32768, 65536)
 
 
 def _round_batch(n: int, cfg: StrsimConfig) -> int:
     """Round a bucket batch up to a size from a small fixed menu, bounding
     distinct compiled shapes per bucket width (remote TPU compiles are
-    expensive) while keeping padded-row waste under ~4x."""
+    expensive) while keeping padded-row waste bounded. The 32768 step
+    (round 5) exists because the 1M headline mix lands its w31/w47 buckets
+    at 23-26K rows: rounding those to 65536 padded the device work 2.5-2.8x
+    and cost the fused-five measure ~25% end-to-end; one extra compiled
+    shape per width buys the waste down to <=1.4x."""
     for b in _BATCH_MENU:
         if n <= b and b <= cfg.max_batch_block:
             return b
@@ -134,6 +138,21 @@ def _osa_impl_for(cfg: StrsimConfig, width: int) -> str:
     return impl
 
 
+def _bigram_impl_for(cfg: StrsimConfig, width: int) -> str:
+    """Resolve the effective bigram-multiset kernel (extension measures):
+    "auto" = Pallas unrolled occurrence-rank kernel on TPU at widths <= 63
+    (16-bit packed tokens on int8 tiles, measured in BIGRAM_AB.json), the
+    XLA scan elsewhere."""
+    impl = cfg.bigram_impl
+    if impl == "auto":
+        from strsim_tpu.ops.bigram_pallas import supports_width
+
+        if supports_width(width) and jax.default_backend() == "tpu":
+            return "pallas_scan"
+        return "xla"
+    return impl
+
+
 def _impls_for(
     cfg: StrsimConfig, width: int, dtype=None, max_char=None
 ) -> Tuple[Tuple[str, str], ...]:
@@ -142,6 +161,7 @@ def _impls_for(
         ("jaro", _jaro_impl_for(cfg, width, dtype, max_char)),
         ("multiset", _multiset_impl_for(cfg, width, dtype)),
         ("osa", _osa_impl_for(cfg, width)),
+        ("bigram", _bigram_impl_for(cfg, width)),
     )
 
 

@@ -438,9 +438,9 @@ def compute_stats(
             from strsim_tpu.ops.jaro_bitmask import jaro_match_stats_bitmask
 
             out["jaro_m"], out["jaro_t"] = jaro_match_stats_bitmask(a, b, len_a, len_b)
-    if "prefix" in need:
+    if "prefix" in need and "prefix" not in out:
         out["prefix"] = shared_prefix_length(a, b)
-    if "inter" in need:
+    if "inter" in need and "inter" not in out:
         ms_impl = impl.get("multiset", "chunked")
         if ms_impl == "pallas_scan":
             from strsim_tpu.ops import multiset_pallas as msp
@@ -478,10 +478,30 @@ def compute_stats(
 
             out["inter"] = multiset_intersection_chunked(a, b, len_a, len_b)
     if "inter2" in need:
-        from strsim_tpu.ops.multiset_loop import bigram_intersection_loop
+        bg_impl = impl.get("bigram", "xla")
+        if bg_impl == "pallas_scan":
+            from strsim_tpu.ops import bigram_pallas as bgp
 
-        out["inter2"] = bigram_intersection_loop(a, b, len_a, len_b)
-    if "ham_m" in need:
+            if bgp.supports_width(a.shape[1]):
+                i2, ham, eqv = bgp.bigram_stats_pallas(a, b, len_a, len_b)
+                out["inter2"] = i2
+                # the kernel's ham/eq side products serve those stats too
+                # (identical contracts to the XLA forms below)
+                if "ham_m" in need:
+                    out["ham_m"] = ham
+                if "eq" in need:
+                    out["eq"] = eqv
+            else:
+                from strsim_tpu.ops.multiset_loop import (
+                    bigram_intersection_loop,
+                )
+
+                out["inter2"] = bigram_intersection_loop(a, b, len_a, len_b)
+        else:
+            from strsim_tpu.ops.multiset_loop import bigram_intersection_loop
+
+            out["inter2"] = bigram_intersection_loop(a, b, len_a, len_b)
+    if "ham_m" in need and "ham_m" not in out:
         # positional matches; pads differ per side, so positions past either
         # length never compare equal (EXTENSION: hamming)
         out["ham_m"] = jnp.sum((a == b).astype(jnp.int32), axis=1)
@@ -508,7 +528,7 @@ def compute_stats(
         from strsim_tpu.ops.phonetic import soundex_equal
 
         out["sdx_eq"] = soundex_equal(a, b, len_a, len_b)
-    if "eq" in need:
+    if "eq" in need and "eq" not in out:
         out["eq"] = row_equal(a, b, len_a, len_b)
     return out
 

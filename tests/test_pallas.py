@@ -669,6 +669,19 @@ def test_fused_five_dispatch_via_compute_stats():
              ("multiset", "pallas_scan"))
     fused = compute_stats(*args, five, impls)
     assert set(fused) == {"lev_d", "jaro_m", "jaro_t", "inter", "prefix"}
+    # the five-stat program must be ONE pallas call — no redundant separate
+    # multiset kernel or XLA cumprod prefix recomputing (and overwriting)
+    # the mega kernel's outputs (the round-5 regression this guards against
+    # cost 28% on device before it was caught)
+    import jax
+
+    jaxpr = str(jax.make_jaxpr(
+        lambda *xs: compute_stats(*xs, five, impls))(*args))
+    import re
+
+    n_pallas = len(re.findall(r"= pallas_call", jaxpr))
+    assert n_pallas == 1, f"expected 1 pallas_call, found {n_pallas}"
+    assert "cumprod" not in jaxpr, "XLA prefix recomputed despite fused prefix"
     ref = compute_stats(*args, five, ())  # default XLA impls
     for k in fused:
         assert np.asarray(fused[k]).tolist() == np.asarray(ref[k]).tolist(), k
@@ -679,6 +692,78 @@ def test_fused_five_dispatch_via_compute_stats():
                                         ("multiset", "chunked")))
     for k in mixed:
         assert np.asarray(mixed[k]).tolist() == np.asarray(ref[k]).tolist(), k
+
+
+@pytest.mark.parametrize("width", [7, 15, 31])
+def test_pallas_bigram_fuzz_matches_xla(width):
+    """Bigram multiset Pallas kernel (16-bit packed tokens on int8 tiles,
+    two-compare form on int32) vs the XLA scan + the ham/eq stat contracts,
+    incl. empty/1-char rows (no bigrams), equal pairs, and a batch not
+    divisible by 8."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.bigram_pallas import bigram_stats_pallas, supports_width
+    from strsim_tpu.ops.multiset_loop import bigram_intersection_loop
+    from strsim_tpu.ops.stats import row_equal
+    from strsim_tpu.utils import encode as enc
+
+    assert supports_width(63) and not supports_width(65)
+
+    rng = np.random.default_rng(width)
+    for base, cast in ((97, False), (0x4E00, True)):
+        n = 203
+        cols = []
+        for _ in range(2):
+            out = []
+            for _ in range(n):
+                ln = int(rng.integers(0, width + 1))
+                out.append("".join(chr(base + int(c))
+                                   for c in rng.integers(0, 4, ln)))
+            cols.append(out)
+        cols[0][:4] = ["", "a", "ab", "aab"]
+        cols[1][:4] = ["", "b", "ab", "aba"]
+        for i in range(0, n, 11):
+            cols[1][i] = cols[0][i]
+        a = enc.encode_column(cols[0], pad=enc.PAD_A, width=width)
+        b = enc.encode_column(cols[1], pad=enc.PAD_B, width=width)
+        ca, cb = a.codes, b.codes
+        if cast:
+            ca, cb = ca.astype(np.int32), cb.astype(np.int32)
+        args = (jnp.asarray(ca), jnp.asarray(cb),
+                jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+        i2, ham, eqv = bigram_stats_pallas(*args)
+        assert np.asarray(i2).tolist() == np.asarray(
+            bigram_intersection_loop(*args)).tolist()
+        assert np.asarray(ham).tolist() == np.asarray(
+            jnp.sum((args[0] == args[1]).astype(jnp.int32), axis=1)).tolist()
+        assert np.asarray(eqv).tolist() == np.asarray(row_equal(*args)).tolist()
+
+
+def test_bigram_dispatch_via_compute_stats():
+    """compute_stats routes inter2 (+ the ham/eq side products) through the
+    bigram Pallas kernel when the impl selects it; results identical to the
+    XLA path, and wide buckets fall through."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.stats import compute_stats
+    from strsim_tpu.utils import encode as enc
+
+    cols_a = ["night", "nacht", "", "aab", "x"]
+    cols_b = ["nacht", "night", "x", "aba", "x"]
+    msr = ("jaccard_bigram", "hamming", "sorensen_dice_bigram")
+    for width in (15, 95):
+        a = enc.encode_column(cols_a, pad=enc.PAD_A, width=width)
+        b = enc.encode_column(cols_b, pad=enc.PAD_B, width=width)
+        args = (jnp.asarray(a.codes), jnp.asarray(b.codes),
+                jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+        got = compute_stats(*args, msr, (("bigram", "pallas_scan"),))
+        ref = compute_stats(*args, msr, ())
+        assert set(got) == set(ref) == {"inter2", "eq", "ham_m"}
+        for k in got:
+            assert np.asarray(got[k]).tolist() == np.asarray(ref[k]).tolist(), (
+                width, k)
 
 
 def test_fused_lev_jaro_fallthrough_conditions():
