@@ -85,6 +85,11 @@ class StrsimConfig:
     # (16-bit packed tokens on int8 tiles — ops/bigram_pallas.py), XLA scan
     # elsewhere; "xla" | "pallas_scan" force one.
     bigram_impl: str = "auto"
+    # lcs (extension: lcs_seq / indel): "auto" = the same-orientation fused
+    # DP Pallas kernel on TPU at widths <= 63 (ops/dp_fused_pallas.py —
+    # also fuses with osa/levenshtein when the stat set wants them), the
+    # XLA Allison-Dix kernel elsewhere; "xla" | "pallas_scan" force one.
+    lcs_impl: str = "auto"
 
     # Pallas grid block size (rows per grid step). Must be a multiple of 8.
     pallas_block_rows: int = 256

@@ -153,6 +153,20 @@ def _bigram_impl_for(cfg: StrsimConfig, width: int) -> str:
     return impl
 
 
+def _lcs_impl_for(cfg: StrsimConfig, width: int) -> str:
+    """Resolve the effective lcs kernel: "auto" = the same-orientation
+    fused DP Pallas kernel on TPU at widths <= 63 (ops/dp_fused_pallas.py,
+    measured in DP_FUSED_AB.json), the XLA Allison-Dix kernel elsewhere."""
+    impl = cfg.lcs_impl
+    if impl == "auto":
+        from strsim_tpu.ops.dp_fused_pallas import supports_width
+
+        if supports_width(width) and jax.default_backend() == "tpu":
+            return "pallas_scan"
+        return "xla"
+    return impl
+
+
 def _impls_for(
     cfg: StrsimConfig, width: int, dtype=None, max_char=None
 ) -> Tuple[Tuple[str, str], ...]:
@@ -162,6 +176,7 @@ def _impls_for(
         ("multiset", _multiset_impl_for(cfg, width, dtype)),
         ("osa", _osa_impl_for(cfg, width)),
         ("bigram", _bigram_impl_for(cfg, width)),
+        ("lcs", _lcs_impl_for(cfg, width)),
     )
 
 

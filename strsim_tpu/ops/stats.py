@@ -360,6 +360,41 @@ def compute_stats(
                 k += 1
             if with_prefix:
                 out["prefix"] = res[k]
+    # same-orientation fused DP (ROOFLINE headroom #7): lev/osa/lcs consume
+    # IDENTICAL per-text-position Eq words — one build serves every
+    # requested recurrence (ops/dp_fused_pallas.py). Taken when >= 2 of the
+    # three want it (lev only if the shared-equality kernel above didn't
+    # already produce it), or for lcs alone (its first Pallas path).
+    dp_want = []
+    if (
+        "lev_d" in need
+        and "lev_d" not in out
+        and impl.get("levenshtein") == "pallas_scan"
+    ):
+        dp_want.append("lev")
+    if "osa_d" in need and impl.get("osa") == "pallas_scan":
+        dp_want.append("osa")
+    if "lcs_len" in need and impl.get("lcs") == "pallas_scan":
+        dp_want.append("lcs")
+    if len(dp_want) >= 2 or dp_want == ["lcs"]:
+        from strsim_tpu.ops import dp_fused_pallas as dpf
+
+        if dpf.supports_width(a.shape[1]):
+            res = dpf.dp_fused_stats_pallas(
+                a, b, len_a, len_b,
+                with_lev="lev" in dp_want,
+                with_osa="osa" in dp_want,
+                with_lcs="lcs" in dp_want,
+            )
+            k = 0
+            if "lev" in dp_want:
+                out["lev_d"] = res[k]
+                k += 1
+            if "osa" in dp_want:
+                out["osa_d"] = res[k]
+                k += 1
+            if "lcs" in dp_want:
+                out["lcs_len"] = res[k]
     if "lev_d" in need and "lev_d" not in out:
         lev_impl = impl.get("levenshtein", "myers")
         if lev_impl == "pallas_scan":
@@ -505,11 +540,11 @@ def compute_stats(
         # positional matches; pads differ per side, so positions past either
         # length never compare equal (EXTENSION: hamming)
         out["ham_m"] = jnp.sum((a == b).astype(jnp.int32), axis=1)
-    if "lcs_len" in need:
+    if "lcs_len" in need and "lcs_len" not in out:
         from strsim_tpu.ops.lcs import lcs_length
 
         out["lcs_len"] = lcs_length(a, b, len_a, len_b)
-    if "osa_d" in need:
+    if "osa_d" in need and "osa_d" not in out:
         osa_impl = impl.get("osa", "myers")
         if osa_impl == "pallas_scan":
             from strsim_tpu.ops import osa_pallas_scan as ops

@@ -766,6 +766,102 @@ def test_bigram_dispatch_via_compute_stats():
                 width, k)
 
 
+@pytest.mark.parametrize("width", [7, 15, 31])
+def test_dp_fused_kernel_parity(width):
+    """Same-orientation fused DP kernel (one Eq build -> lev/osa/lcs): every
+    subset vs the XLA kernels at W=1 widths, incl. empties, equal pairs,
+    adjacent swaps (the OSA TR vector) and odd batch. W=2 widths are
+    TPU-validated by tools/ab_dp_fused.py (same XLA:CPU unroll limit as
+    every multiword kernel)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.dp_fused_pallas import (
+        dp_fused_stats_pallas, supports_width,
+    )
+    from strsim_tpu.ops.lcs import lcs_length
+    from strsim_tpu.ops.levenshtein_myers import levenshtein_distance_myers
+    from strsim_tpu.ops.osa_myers import osa_distance_myers
+    from strsim_tpu.utils import encode as enc
+
+    assert supports_width(63) and not supports_width(65)
+
+    rng = np.random.default_rng(width)
+    n = 203
+    cols = []
+    for _ in range(2):
+        out = []
+        for _ in range(n):
+            ln = int(rng.integers(0, width + 1))
+            out.append("".join(chr(97 + int(c))
+                               for c in rng.integers(0, 4, ln)))
+        cols.append(out)
+    cols[0][:4] = ["", "ab", "abc", "ba"]
+    cols[1][:4] = ["x", "ba", "acb", "ab"]
+    for i in range(0, n, 11):
+        cols[1][i] = cols[0][i]
+    a = enc.encode_column(cols[0], pad=enc.PAD_A, width=width)
+    b = enc.encode_column(cols[1], pad=enc.PAD_B, width=width)
+    args = (jnp.asarray(a.codes), jnp.asarray(b.codes),
+            jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+    lev, osa, lcs = dp_fused_stats_pallas(
+        *args, with_lev=True, with_osa=True, with_lcs=True)
+    assert np.asarray(lev).tolist() == np.asarray(
+        levenshtein_distance_myers(*args)).tolist()
+    assert np.asarray(osa).tolist() == np.asarray(
+        osa_distance_myers(*args)).tolist()
+    assert np.asarray(lcs).tolist() == np.asarray(lcs_length(*args)).tolist()
+    (lcs2,) = dp_fused_stats_pallas(*args, with_lcs=True)
+    assert np.asarray(lcs2).tolist() == np.asarray(lcs).tolist()
+    osa3, lcs3 = dp_fused_stats_pallas(*args, with_osa=True, with_lcs=True)
+    assert np.asarray(osa3).tolist() == np.asarray(osa).tolist()
+    assert np.asarray(lcs3).tolist() == np.asarray(lcs).tolist()
+
+
+def test_dp_fused_dispatch_via_compute_stats():
+    """compute_stats routes osa+lcs (and lev when jaro is absent) through
+    the same-orientation fused kernel in ONE pallas call; with jaro in the
+    set, lev rides the shared-equality kernel and the DP kernel serves the
+    rest — results identical to the default impls either way."""
+    import re
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.stats import compute_stats
+    from strsim_tpu.utils import encode as enc
+
+    cols_a = ["night", "abcdef", "", "ba", "same"]
+    cols_b = ["nacht", "abdcef", "x", "ab", "same"]
+    a = enc.encode_column(cols_a, pad=enc.PAD_A, width=15)
+    b = enc.encode_column(cols_b, pad=enc.PAD_B, width=15)
+    args = (jnp.asarray(a.codes), jnp.asarray(b.codes),
+            jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+
+    msr = ("levenshtein", "osa", "lcs_seq", "indel")
+    impls = (("levenshtein", "pallas_scan"), ("osa", "pallas_scan"),
+             ("lcs", "pallas_scan"))
+    got = compute_stats(*args, msr, impls)
+    ref = compute_stats(*args, msr, ())
+    assert set(got) == {"lev_d", "osa_d", "lcs_len"}
+    for k in got:
+        assert np.asarray(got[k]).tolist() == np.asarray(ref[k]).tolist(), k
+    jaxpr = str(jax.make_jaxpr(lambda *xs: compute_stats(*xs, msr, impls))(*args))
+    assert len(re.findall(r"= pallas_call", jaxpr)) == 1
+
+    # jaro in the set: lev comes from the shared-equality kernel, osa/lcs
+    # from the DP kernel — two pallas calls total, results unchanged
+    msr2 = ("levenshtein", "jaro", "osa", "lcs_seq")
+    impls2 = impls + (("jaro", "pallas_scan"),)
+    got2 = compute_stats(*args, msr2, impls2)
+    ref2 = compute_stats(*args, msr2, ())
+    for k in got2:
+        assert np.asarray(got2[k]).tolist() == np.asarray(ref2[k]).tolist(), k
+    jaxpr2 = str(jax.make_jaxpr(lambda *xs: compute_stats(*xs, msr2, impls2))(*args))
+    assert len(re.findall(r"= pallas_call", jaxpr2)) == 2
+
+
 def test_fused_lev_jaro_fallthrough_conditions():
     """The fused path must NOT activate (and results stay correct via the
     separate kernels) when the width exceeds one flag word, the tiles are
