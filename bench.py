@@ -389,13 +389,24 @@ def _encode_section(details) -> dict:
                   + a.lengths.nbytes + b.lengths.nbytes + 8 * n)
         staging_s = staged / (pcie_gbps * 1e9)
         device_s = dev_s_1m * (n / 1e6)
+        # measured host phases from the real 1M single-measure run (valid
+        # untunneled — they never touch the relay): row classification and
+        # the exact-f64 finalize+scatter (threaded C++ when available)
+        phases = lev.get("phases", {})
+        classify_s = float(phases.get("classify_s", 0.0))
+        finalize_s = float(phases.get("finalize_s", 0.0))
+        serial = best + classify_s + staging_s + device_s + finalize_s
         out["projected_untunneled_e2e"] = {
-            "model": "encode(measured) + staging(modeled 10 GB/s) + device(measured resident)",
+            "model": ("encode+classify+finalize(measured host) + "
+                      "staging(modeled 10 GB/s) + device(measured resident)"),
             "staged_bytes": staged,
             "staging_s": round(staging_s, 4),
             "device_s": round(device_s, 4),
-            "serial_pairs_per_sec": round(n / (best + staging_s + device_s), 1),
-            "pipelined_pairs_per_sec": round(n / max(best, staging_s, device_s), 1),
+            "classify_s": round(classify_s, 4),
+            "finalize_s": round(finalize_s, 4),
+            "serial_pairs_per_sec": round(n / serial, 1),
+            "pipelined_pairs_per_sec": round(
+                n / max(best, classify_s, staging_s, device_s, finalize_s), 1),
         }
         details["_meta"]["projected_e2e_pairs_per_sec"] = (
             out["projected_untunneled_e2e"]["pipelined_pairs_per_sec"])

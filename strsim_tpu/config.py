@@ -90,6 +90,10 @@ class StrsimConfig:
     # also fuses with osa/levenshtein when the stat set wants them), the
     # XLA Allison-Dix kernel elsewhere; "xla" | "pallas_scan" force one.
     lcs_impl: str = "auto"
+    # Host finalize: threaded C++ finalize+scatter (exact reference-order
+    # f64, bit-identical to ops/finalize.py — tests/test_native.py) when the
+    # native library is available; False forces the numpy finalizers.
+    native_finalize: bool = True
 
     # Pallas grid block size (rows per grid step). Must be a multiple of 8.
     pallas_block_rows: int = 256

@@ -754,7 +754,8 @@ def _device_collect(out, measures, item, cfg, metrics=None):
             metrics.oracle_rows += int(sel.size)
             metrics.device_rows -= int(sel.size)
         return
-    stats_np = {f: host[fi, : sel.size].astype(np.int64) for fi, f in enumerate(need)}
+    stats32 = {f: host[fi, : sel.size] for fi, f in enumerate(need)}  # int32 views
+    stats_np = None  # int64 copies, materialized only if the numpy path runs
     device_dt = item["dispatch_dt"] + tm.lap()
 
     if metrics is not None:
@@ -768,7 +769,24 @@ def _device_collect(out, measures, item, cfg, metrics=None):
         bm.device_wall_s += device_dt
         metrics.device_wall_s += device_dt
 
+    # threaded C++ finalize+scatter (exact reference-order f64, bit-identical
+    # to the numpy finalizers — tests/test_native.py); numpy fallback per
+    # measure when the library or a stat layout doesn't qualify
+    native_fin = None
+    if cfg.native_finalize:
+        try:
+            from strsim_tpu.native import binding as _nb
+
+            native_fin = _nb.finalize_scatter
+        except Exception:
+            native_fin = None
     for m in measures:
+        if native_fin is not None and native_fin(
+            m, stats32, lens_a, lens_b, out[m], sel
+        ):
+            continue
+        if stats_np is None:
+            stats_np = {f: v.astype(np.int64) for f, v in stats32.items()}
         vals = MEASURES[m].finalizer(stats_np, lens_a.astype(np.int64), lens_b.astype(np.int64))
         out[m][sel] = vals
     if metrics is not None:

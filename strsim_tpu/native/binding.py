@@ -31,6 +31,81 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+# stat fields per measure, in the (s0, s1, s2) order strsim_host.cpp's
+# finalize_range expects (mirrors ops/stats.STAT_FIELDS semantics)
+_FINALIZE_FIELDS = {
+    "levenshtein": ("lev_d",),
+    "jaro": ("jaro_m", "jaro_t"),
+    "jaro_winkler": ("jaro_m", "jaro_t", "prefix"),
+    "jaccard": ("inter",),
+    "sorensen_dice": ("inter",),
+    "jaccard_bigram": ("inter2", "eq"),
+    "sorensen_dice_bigram": ("inter2", "eq"),
+    "cosine": ("inter",),
+    "overlap": ("inter",),
+    "hamming": ("ham_m",),
+    "lcs_seq": ("lcs_len",),
+    "indel": ("lcs_len",),
+    "osa": ("osa_d",),
+    "soundex": ("sdx_eq",),
+}
+
+
+def finalize_scatter(
+    measure: str,
+    stats: dict,
+    la: np.ndarray,
+    lb: np.ndarray,
+    out: np.ndarray,
+    sel: Optional[np.ndarray] = None,
+) -> bool:
+    """Threaded C++ finalize (exact f64, reference evaluation order — see
+    strsim_host.cpp finalize_range) fused with the scatter into `out`
+    (out[sel[i]] = score(i); identity when sel is None). Bit-identical to
+    ops/finalize.py's numpy finalizers (tests/test_native.py). Returns
+    False when the native library is unavailable or inputs don't qualify
+    (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "strsim_finalize_scatter"):
+        return False
+    fields = _FINALIZE_FIELDS.get(measure)
+    if fields is None:
+        return False
+    n = la.shape[0]
+    svec = []
+    for f in fields:
+        s = stats.get(f)
+        if s is None:
+            return False
+        s = np.ascontiguousarray(s, dtype=np.int32)
+        if s.shape[0] != n:
+            return False
+        svec.append(s)
+    while len(svec) < 3:
+        svec.append(None)
+    la32 = np.ascontiguousarray(la, dtype=np.int32)
+    lb32 = np.ascontiguousarray(lb, dtype=np.int32)
+    if sel is not None:
+        sel = np.ascontiguousarray(sel, dtype=np.int64)
+        if sel.shape[0] != n:
+            return False
+    if out.dtype != np.float64 or not out.flags.c_contiguous:
+        return False
+    lib.strsim_finalize_scatter.restype = None
+    lib.strsim_finalize_scatter(
+        ctypes.c_int32(MEASURE_IDS[measure]),
+        _ptr(svec[0], ctypes.c_int32),
+        _ptr(svec[1], ctypes.c_int32) if svec[1] is not None else None,
+        _ptr(svec[2], ctypes.c_int32) if svec[2] is not None else None,
+        _ptr(la32, ctypes.c_int32),
+        _ptr(lb32, ctypes.c_int32),
+        _ptr(sel, ctypes.c_int64) if sel is not None else None,
+        ctypes.c_int64(n),
+        _ptr(out, ctypes.c_double),
+    )
+    return True
+
+
 def scan_object_ptr(
     objs_addr: int, n: int
 ) -> Optional[Tuple[int, bool, np.ndarray, np.ndarray]]:

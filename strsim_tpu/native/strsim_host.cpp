@@ -969,4 +969,154 @@ void strsim_compute_mt(int32_t measure, const int32_t* codes_a,
   for (auto& th : pool) th.join();
 }
 
+namespace {
+
+// Host finalization (integer stats -> exact f64 scores) fused with the
+// scatter back to original row order. Each case mirrors ops/finalize.py
+// FORMULA-FOR-FORMULA in the reference's evaluation order (left-to-right,
+// same associativity — strsim.rs:160, 241-242, 267, 301-306, 343), so the
+// scores are bit-identical to the numpy finalizers (locked by
+// tests/test_native.py::test_native_finalize_bit_exact). Scalar IEEE
+// doubles on SSE2: no extended precision, same rounding as numpy's
+// elementwise loops. s0/s1/s2 are the measure's stat fields in
+// binding._FINALIZE_FIELDS order; sel (optional) holds scatter indices.
+void finalize_range(int32_t measure, const int32_t* s0, const int32_t* s1,
+                    const int32_t* s2, const int32_t* la, const int32_t* lb,
+                    const int64_t* sel, int64_t lo, int64_t hi, double* out) {
+  for (int64_t i = lo; i < hi; ++i) {
+    int64_t A = la[i], B = lb[i];
+    bool both_empty = (A == 0) && (B == 0);
+    bool any_empty = (A == 0) || (B == 0);
+    double sim = 0.0;
+    switch (measure) {
+      case 0:    // levenshtein: 1 - d/max (strsim.rs:160)
+      case 12: { // osa: same formula + guards over osa_d
+        int64_t maxlen = std::max(A, B);
+        int64_t d = any_empty ? maxlen : (int64_t)s0[i];
+        sim = 1.0 - ((double)d / (double)std::max<int64_t>(maxlen, 1));
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      case 1:   // jaro (strsim.rs:241-242)
+      case 2: { // jaro_winkler (strsim.rs:267)
+        int64_t m = s0[i];
+        int64_t t = s1[i];
+        double mf = (double)m;
+        double js = (mf / (double)std::max<int64_t>(A, 1) +
+                     mf / (double)std::max<int64_t>(B, 1) +
+                     (double)(m - t / 2) / (double)std::max<int64_t>(m, 1)) /
+                    3.0;
+        if (m == 0) js = 0.0;
+        if (both_empty) js = 1.0;
+        sim = js;
+        if (measure == 2) {
+          double prefix = (double)s2[i];
+          double boosted = js + ((prefix * 0.1) * (1.0 - js));
+          sim = (js > 0.7) ? boosted : js;
+        }
+        break;
+      }
+      case 3: {  // jaccard: inter / (la + lb - inter) (strsim.rs:301-306)
+        int64_t inter = s0[i];
+        int64_t den = A + B - inter;
+        sim = (double)inter / (double)std::max<int64_t>(den, 1);
+        if (any_empty) sim = 0.0;
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      case 4: {  // sorensen_dice: 2*inter / (la + lb) (strsim.rs:343)
+        int64_t inter = s0[i];
+        sim = (2.0 * (double)inter) / (double)std::max<int64_t>(A + B, 1);
+        if (any_empty) sim = 0.0;
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      case 5:   // jaccard_bigram (extension; eq stat patches equal rows)
+      case 6: { // sorensen_dice_bigram
+        int64_t na = std::max<int64_t>(A - 1, 0);
+        int64_t nb = std::max<int64_t>(B - 1, 0);
+        int64_t inter = s0[i];
+        if (measure == 5) {
+          int64_t den = na + nb - inter;
+          sim = (double)inter / (double)std::max<int64_t>(den, 1);
+        } else {
+          sim = (2.0 * (double)inter) / (double)std::max<int64_t>(na + nb, 1);
+        }
+        if (na == 0 || nb == 0) sim = 0.0;
+        if (s1[i]) sim = 1.0;  // row-equality patch (ops/finalize.py:84-91)
+        break;
+      }
+      case 7: {  // cosine: inter / sqrt(la*lb) (extension)
+        int64_t inter = s0[i];
+        double den = std::sqrt((double)(A * B));
+        sim = (double)inter / std::max(den, 1.0);
+        if (any_empty) sim = 0.0;
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      case 8: {  // overlap: inter / min(la, lb) (extension)
+        int64_t inter = s0[i];
+        sim = (double)inter / (double)std::max<int64_t>(std::min(A, B), 1);
+        if (any_empty) sim = 0.0;
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      case 9: {  // hamming: matches / max(la, lb) (extension)
+        sim = (double)(int64_t)s0[i] /
+              (double)std::max<int64_t>(std::max(A, B), 1);
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      case 10: {  // lcs_seq: lcs / max(la, lb) (extension)
+        sim = (double)(int64_t)s0[i] /
+              (double)std::max<int64_t>(std::max(A, B), 1);
+        if (any_empty) sim = 0.0;
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      case 11: {  // indel: 2*lcs / (la + lb) (extension)
+        sim = (2.0 * (double)s0[i]) / (double)std::max<int64_t>(A + B, 1);
+        if (any_empty) sim = 0.0;
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      case 13: {  // soundex: 0/1 code equality (extension)
+        sim = (double)s0[i];
+        if (any_empty) sim = 0.0;
+        if (both_empty) sim = 1.0;
+        break;
+      }
+      default:
+        sim = -1.0;
+    }
+    out[sel ? sel[i] : i] = sim;
+  }
+}
+
+}  // namespace
+
+// Finalize + scatter, threaded. s1/s2 may be null for measures that use
+// fewer stat fields; sel may be null (identity scatter).
+void strsim_finalize_scatter(int32_t measure, const int32_t* s0,
+                             const int32_t* s1, const int32_t* s2,
+                             const int32_t* la, const int32_t* lb,
+                             const int64_t* sel, int64_t n, double* out) {
+  int64_t t =
+      std::min<int64_t>((int64_t)std::thread::hardware_concurrency(), 8);
+  if (n < 65536 || t <= 1) {
+    finalize_range(measure, s0, s1, s2, la, lb, sel, 0, n, out);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  int64_t chunk = n / t;
+  for (int64_t i = 0; i < t; ++i) {
+    int64_t lo = i * chunk;
+    int64_t hi = (i == t - 1) ? n : lo + chunk;
+    pool.emplace_back(finalize_range, measure, s0, s1, s2, la, lb, sel, lo,
+                      hi, out);
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // extern "C"

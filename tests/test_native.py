@@ -103,3 +103,78 @@ def test_native_multithreaded_bitexact():
         st1 = native_compute(m, a.codes, a.lengths, b.codes, b.lengths, None, threads=1)
         mt = native_compute(m, a.codes, a.lengths, b.codes, b.lengths, None, threads=0)
         assert st1.tobytes() == mt.tobytes(), m
+
+
+def test_native_finalize_bit_exact():
+    """Threaded C++ finalize+scatter vs the numpy finalizers: bit-identical
+    f64 for all 14 measures over adversarial integer stats — empties on
+    either/both sides, m=0, equal rows, t odd/even, len-1 rows, and a
+    shuffled scatter index."""
+    from strsim_tpu.native import binding as nb
+    from strsim_tpu.ops.finalize import FINALIZERS
+
+    if nb.get_lib() is None or not hasattr(nb.get_lib(), "strsim_finalize_scatter"):
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(13)
+    n = 70003  # above the threading threshold, odd (uneven chunks)
+    la = rng.integers(0, 20, size=n).astype(np.int32)
+    lb = rng.integers(0, 20, size=n).astype(np.int32)
+    la[:50] = 0
+    lb[25:75] = 0  # both-empty and one-empty bands
+    la[100:120] = 1
+    lb[100:120] = 1
+    stats = {
+        "lev_d": rng.integers(0, 21, size=n).astype(np.int32),
+        "jaro_m": np.minimum(rng.integers(0, 21, size=n),
+                             np.minimum(la, lb)).astype(np.int32),
+        "jaro_t": rng.integers(0, 9, size=n).astype(np.int32),
+        "prefix": rng.integers(0, 5, size=n).astype(np.int32),
+        "inter": np.minimum(rng.integers(0, 21, size=n),
+                            np.minimum(la, lb)).astype(np.int32),
+        "inter2": rng.integers(0, 19, size=n).astype(np.int32),
+        "eq": (rng.random(n) < 0.1).astype(np.int32),
+        "ham_m": np.minimum(rng.integers(0, 21, size=n),
+                            np.minimum(la, lb)).astype(np.int32),
+        "lcs_len": np.minimum(rng.integers(0, 21, size=n),
+                              np.minimum(la, lb)).astype(np.int32),
+        "osa_d": rng.integers(0, 21, size=n).astype(np.int32),
+        "sdx_eq": (rng.random(n) < 0.3).astype(np.int32),
+    }
+    stats["jaro_m"][la == 0] = 0
+    stats["jaro_m"][lb == 0] = 0
+    sel = rng.permutation(n).astype(np.int64)
+    la64 = la.astype(np.int64)
+    lb64 = lb.astype(np.int64)
+    stats64 = {k: v.astype(np.int64) for k, v in stats.items()}
+    for m, fin in FINALIZERS.items():
+        want = np.empty(n, dtype=np.float64)
+        want[sel] = fin(stats64, la64, lb64)
+        got = np.full(n, -7.0, dtype=np.float64)
+        ok = nb.finalize_scatter(m, stats, la, lb, got, sel)
+        assert ok, m
+        assert got.tobytes() == want.tobytes(), m
+        # identity scatter too
+        got2 = np.full(n, -7.0, dtype=np.float64)
+        assert nb.finalize_scatter(m, stats, la, lb, got2, None)
+        assert got2.tobytes() == fin(stats64, la64, lb64).tobytes(), m
+
+
+def test_native_finalize_pipeline_toggle_identical():
+    """compute through the pipeline with native_finalize on vs off:
+    byte-identical scores on a mixed batch (incl. nulls/empties/equals)."""
+    import strsim_tpu as st
+
+    words = ["phillips", "philips", "", None, "smith", "well-known name",
+             "a", "\U0001d11e astral"]
+    rng = np.random.default_rng(3)
+    col_a = [words[i] for i in rng.integers(0, len(words), 4000)]
+    col_b = [words[i] for i in rng.integers(0, len(words), 4000)]
+    on = st.get_config().replace(native_finalize=True)
+    off = st.get_config().replace(native_finalize=False)
+    for m in ("levenshtein", "jaro_winkler", "jaccard_bigram", "osa"):
+        a = st.compute(m, col_a, col_b, config=on)
+        b = st.compute(m, col_a, col_b, config=off)
+        assert a.tobytes() == b.tobytes(), m
