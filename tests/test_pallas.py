@@ -766,13 +766,13 @@ def test_bigram_dispatch_via_compute_stats():
                 width, k)
 
 
-@pytest.mark.parametrize("width", [7, 15, 31])
+@pytest.mark.parametrize("width", [7, 15, 31, 95, 255])
 def test_dp_fused_kernel_parity(width):
     """Same-orientation fused DP kernel (one Eq build -> lev/osa/lcs): every
-    subset vs the XLA kernels at W=1 widths, incl. empties, equal pairs,
-    adjacent swaps (the OSA TR vector) and odd batch. W=2 widths are
-    TPU-validated by tools/ab_dp_fused.py (same XLA:CPU unroll limit as
-    every multiword kernel)."""
+    subset vs the XLA kernels at W=1 widths AND the fori_loop wide variant
+    (95/255 — loop bodies are CI-interpretable, unlike the W=2 unrolls,
+    which are TPU-validated by tools/ab_dp_fused.py), incl. empties, equal
+    pairs, adjacent swaps (the OSA TR vector) and odd batch."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -784,7 +784,7 @@ def test_dp_fused_kernel_parity(width):
     from strsim_tpu.ops.osa_myers import osa_distance_myers
     from strsim_tpu.utils import encode as enc
 
-    assert supports_width(63) and not supports_width(65)
+    assert supports_width(512) and not supports_width(513)
 
     rng = np.random.default_rng(width)
     n = 203

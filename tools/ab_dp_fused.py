@@ -75,7 +75,7 @@ def main():
     smoke = os.environ.get("STRSIM_AB_SMOKE") == "1"
     out = {}
     rng = np.random.default_rng(31)
-    widths = (15,) if smoke else (15, 31, 47, 63)
+    widths = (15,) if smoke else (15, 31, 47, 63, 127, 383)
     for L in widths:
         B = 512 if smoke else 262144
         codes, lens = _tiles(rng, B, L)
