@@ -53,7 +53,11 @@ class StrsimEngine:
         for w in widths:
             blocks = {4096}
             if large_batches:
-                blocks.add(_block_rows(w, self.config, measures))
+                big = _block_rows(w, self.config, measures)
+                blocks.add(big)
+                # the 32768 menu step (round 5): mid-size buckets round here
+                if 32768 < big:
+                    blocks.add(32768)
             for blk in blocks:
                 shapes.append((w, blk, dtype, 1, max_char))
         prewarm_shapes(measures, shapes, self.config)
