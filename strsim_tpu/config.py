@@ -86,9 +86,10 @@ class StrsimConfig:
     # elsewhere; "xla" | "pallas_scan" force one.
     bigram_impl: str = "auto"
     # lcs (extension: lcs_seq / indel): "auto" = the same-orientation fused
-    # DP Pallas kernel on TPU at widths <= 63 (ops/dp_fused_pallas.py —
-    # also fuses with osa/levenshtein when the stat set wants them), the
-    # XLA Allison-Dix kernel elsewhere; "xla" | "pallas_scan" force one.
+    # DP Pallas kernel on TPU through width 512 (ops/dp_fused_pallas.py —
+    # unrolled <= 63, fori_loop wide variant beyond; also fuses with
+    # osa/levenshtein when the stat set wants them), the XLA Allison-Dix
+    # kernel elsewhere; "xla" | "pallas_scan" force one.
     lcs_impl: str = "auto"
     # Host finalize: threaded C++ finalize+scatter (exact reference-order
     # f64, bit-identical to ops/finalize.py — tests/test_native.py) when the

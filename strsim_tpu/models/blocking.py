@@ -883,7 +883,7 @@ def dedup_blocked_stream(
     measure: str = "jaro_winkler",
     threshold: float = 0.9,
     *,
-    key: Union[str, Callable] = None,
+    key: Optional[Union[str, Callable]] = None,
     journal=None,
     config: Optional[StrsimConfig] = None,
     pair_chunk: int = 2_000_000,

@@ -155,8 +155,9 @@ def _bigram_impl_for(cfg: StrsimConfig, width: int) -> str:
 
 def _lcs_impl_for(cfg: StrsimConfig, width: int) -> str:
     """Resolve the effective lcs kernel: "auto" = the same-orientation
-    fused DP Pallas kernel on TPU at widths <= 63 (ops/dp_fused_pallas.py,
-    measured in DP_FUSED_AB.json), the XLA Allison-Dix kernel elsewhere."""
+    fused DP Pallas kernel on TPU through width 512 (unrolled <= 63, wide
+    fori beyond — ops/dp_fused_pallas.py, measured 1.2-5.8x over the XLA
+    kernel in DP_FUSED_AB.json), the XLA Allison-Dix kernel elsewhere."""
     impl = cfg.lcs_impl
     if impl == "auto":
         from strsim_tpu.ops.dp_fused_pallas import supports_width

@@ -6,7 +6,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from strsim_tpu.native.build import get_lib
+from strsim_tpu.native.build import get_lib, get_pylib
 
 MEASURE_IDS = {
     "levenshtein": 0,
@@ -112,8 +112,12 @@ def scan_object_ptr(
     """Pass 1 over a raw PyObject** array (threaded C++, no refcount traffic):
     returns (max_len | -(row+1) on a non-str row, all_ascii, lengths,
     validity). Returns None when the native library is unavailable. The
-    caller owns error formatting (it knows the original column object)."""
-    lib = get_lib()
+    caller owns error formatting (it knows the original column object).
+
+    Called through the PyDLL handle: the GIL stays HELD for the duration,
+    so no other Python thread can mutate the source list / object array
+    while the native threads read its ob_item slots (build.get_pylib)."""
+    lib = get_pylib()
     if lib is None or not hasattr(lib, "strsim_scan_object_column"):
         return None
     lib.strsim_scan_object_column.restype = ctypes.c_int64
@@ -137,8 +141,9 @@ def encode_object_ptr(
 ) -> int:
     """Pass 2: fill the caller-allocated [n, width] tile (int8 for an
     all-ASCII column, else int32) from a raw PyObject** array. Returns 0 or
-    row+1 when a row exceeds `width`."""
-    lib = get_lib()
+    row+1 when a row exceeds `width`. PyDLL handle: GIL held throughout
+    (see scan_object_ptr)."""
+    lib = get_pylib()
     lib.strsim_encode_object_column.restype = ctypes.c_int64
     return int(lib.strsim_encode_object_column(
         ctypes.c_void_p(objs_addr),

@@ -17,6 +17,7 @@ from typing import Optional
 _SRC = pathlib.Path(__file__).parent / "strsim_host.cpp"
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
+_PYLIB: Optional[ctypes.PyDLL] = None
 _TRIED = False
 
 
@@ -104,6 +105,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         _LIB = lib
         return _LIB
+
+
+def get_pylib() -> Optional[ctypes.PyDLL]:
+    """The native library loaded via PyDLL — calls through THIS handle keep
+    the GIL held. Required for the raw PyObject** routes
+    (strsim_scan_object_column / strsim_encode_object_column): they read a
+    live list's ob_item array and each row's PyUnicode internals, so the
+    calling thread must prevent every other Python thread from running
+    (a concurrent list.append could realloc ob_item, or an object-array
+    store could decref a row, mid-read — use-after-free). The C++ side is
+    internally threaded, so holding the GIL costs no parallelism."""
+    global _PYLIB
+    if _PYLIB is not None:
+        return _PYLIB
+    if get_lib() is None:  # drives the build + argtype setup exactly once
+        return None
+    with _LOCK:
+        if _PYLIB is None:
+            try:
+                _PYLIB = ctypes.PyDLL(str(build_library()))
+            except Exception:
+                return None
+    return _PYLIB
 
 
 def native_available() -> bool:

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from strsim_tpu.ops.jaro_pallas_scan import _block_rows_for
 from strsim_tpu.utils.encode import PAD_A, PAD_B
 
 Array = jax.Array
@@ -117,13 +118,6 @@ def _kernel(a_ref, b_ref, la_ref, lb_ref, i2_ref, ham_ref, eq_ref,
         hit = (occ < cnt_b) & (i < la - 1)
         inter = inter + jnp.where(hit, one, zero)
     i2_ref[0] = inter
-
-
-def _block_rows_for(B: int, block_rows: int) -> int:
-    br = min(block_rows, B)
-    while B % br:
-        br //= 2
-    return br
 
 
 def bigram_stats_pallas(

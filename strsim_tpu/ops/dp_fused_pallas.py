@@ -47,6 +47,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from strsim_tpu.ops.jaro_pallas_scan import _block_rows_for, _satmask
 from strsim_tpu.utils.encode import PAD_A, PAD_B
 
 Array = jax.Array
@@ -63,14 +64,6 @@ def supports_width(L: int) -> bool:
     """True iff a kernel specialization covers padded width L (unrolled at
     L <= 63, fori_loop wide variant through 512)."""
     return L <= _MAX_WIDTH_WIDE
-
-
-def _satmask(k: Array) -> Array:
-    """Per-lane uint32 mask of the k lowest bits, saturating (k <= 0 -> 0,
-    k >= 32 -> all ones)."""
-    kc = jnp.clip(k, 0, _WORD - 1).astype(jnp.uint32)
-    base = (np.uint32(1) << kc) - np.uint32(1)
-    return jnp.where(k >= _WORD, _ALL_ONES, jnp.where(k <= 0, np.uint32(0), base))
 
 
 def _kernel(a_ref, b_ref, la_ref, lb_ref, *out_refs,
@@ -376,13 +369,6 @@ def _kernel_wide(nmax_ref, a_ref, b_ref, la_ref, lb_ref, *out_refs,
         ref[0] = val
 
 
-def _block_rows_for(B: int, block_rows: int) -> int:
-    br = min(block_rows, B)
-    while B % br:
-        br //= 2
-    return br
-
-
 def dp_fused_stats_pallas(
     a: Array,
     b: Array,
@@ -397,7 +383,8 @@ def dp_fused_stats_pallas(
 ) -> Tuple[Array, ...]:
     """(lev_d?, osa_d?, lcs_len?) — the requested subset, in that order —
     from ONE per-step Eq build. [B, L] padded tiles (any int dtype; the
-    recurrences compare full codepoints), L <= 63."""
+    recurrences compare full codepoints). Unrolled at L <= 63; fori_loop
+    wide variant through L <= 512 with a per-block dynamic trip count."""
     B, L = a.shape
     if not supports_width(L):
         raise ValueError(

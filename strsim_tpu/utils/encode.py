@@ -205,17 +205,6 @@ def encode_column(col, pad: int = PAD_A, width: Optional[int] = None) -> Encoded
     return EncodedColumn(codes=codes, lengths=lengths, validity=validity)
 
 
-def _encode_objects(arr: np.ndarray, pad: int, width: Optional[int]) -> Optional[EncodedColumn]:
-    """Fastest host encode: the native library reads codepoints straight out
-    of CPython's compact unicode structs (threaded, no UTF-8 round-trip, no
-    Python-level passes), yielding an int8 tile when the column is pure ASCII
-    (4x less memory and device transfer). Returns None when the native
-    library is absent."""
-    if arr.shape[0] == 0:
-        return None
-    return _encode_objects_ptr(arr.ctypes.data, arr.shape[0], arr, pad, width)
-
-
 def _encode_objects_ptr(
     objs_addr: int, n: int, rows, pad: int, width: Optional[int]
 ) -> Optional[EncodedColumn]:

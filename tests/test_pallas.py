@@ -593,6 +593,10 @@ def test_fused_five_kernel_parity():
         ca, cb = a.codes, b.codes
         if pack < 4:
             ca, cb = ca.astype(np.int32), cb.astype(np.int32)
+        else:
+            # pack=4 requires 8-bit tiles; force int8 so the test does not
+            # depend on the native encoder having narrowed the column
+            ca, cb = ca.astype(np.int8), cb.astype(np.int8)
         args = (jnp.asarray(ca), jnp.asarray(cb),
                 jnp.asarray(a.lengths), jnp.asarray(b.lengths))
         lev, m, t, inter, pref = ljp.fused_stats_pallas(
@@ -662,7 +666,11 @@ def test_fused_five_dispatch_via_compute_stats():
     cols_b = ["philips", "smyth", "b", "x", "chamberlin"[:15], "bacba"]
     a = enc.encode_column(cols_a, pad=enc.PAD_A, width=15)
     b = enc.encode_column(cols_b, pad=enc.PAD_B, width=15)
-    args = (jnp.asarray(a.codes), jnp.asarray(b.codes),
+    # force int8 tiles: without the native library encode_column's numpy
+    # path yields int32 and the pack=4 fused route (itemsize==1) would fall
+    # through, failing the single-pallas-call assertion below spuriously
+    args = (jnp.asarray(a.codes.astype(np.int8)),
+            jnp.asarray(b.codes.astype(np.int8)),
             jnp.asarray(a.lengths), jnp.asarray(b.lengths))
     five = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice")
     impls = (("levenshtein", "pallas_scan"), ("jaro", "pallas_scan"),

@@ -47,7 +47,7 @@ def main():
     sample = []
     t = time.perf_counter()
     for cid, i, j, s in dedup_blocked_stream(
-        names, "jaro_winkler", THRESH, journal=journal,
+        names, key="soundex", "jaro_winkler", THRESH, journal=journal,
         pair_chunk=CHUNK, shard=0, num_shards=NUM_SHARDS,
     ):
         journal.mark_done(cid)

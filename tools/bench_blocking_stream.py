@@ -49,7 +49,7 @@ def main():
     first_ids = []
     t = time.perf_counter()
     for cid, i, j, s in dedup_blocked_stream(
-        names, "jaro_winkler", THRESH, journal=journal, pair_chunk=CHUNK
+        names, key="soundex", "jaro_winkler", THRESH, journal=journal, pair_chunk=CHUNK
     ):
         got.update(zip(zip(i.tolist(), j.tolist()), s.tolist()))
         journal.mark_done(cid)
@@ -66,7 +66,7 @@ def main():
     pairs_scored = 0
     t = time.perf_counter()
     for cid, i, j, s in dedup_blocked_stream(
-        names, "jaro_winkler", THRESH, journal=journal2, pair_chunk=CHUNK
+        names, key="soundex", "jaro_winkler", THRESH, journal=journal2, pair_chunk=CHUNK
     ):
         assert cid not in first_ids, f"completed chunk {cid} re-ran"
         for p, v in zip(zip(i.tolist(), j.tolist()), s.tolist()):
