@@ -128,12 +128,15 @@ def _transpose_eq(eqj, L, W, shape):
 
 def _kernel(
     a_ref, b_ref, la_ref, lb_ref, *out_refs,
-    L, pack, with_inter, with_prefix,
+    L, pack, with_inter, with_prefix, with_osa=False, with_lcs=False,
 ):
     """Jaro greedy scan (storing EqB words) + bit transpose + Myers scan
-    [+ popcount multiset + prefix]. a_ref/b_ref: [1, L, 8, BR8] i32;
-    la/lb and every output: [1, 8, BR8] i32. Output order: lev, m, t
-    [, inter][, prefix]."""
+    [+ popcount multiset + prefix + OSA + LCS]. The transposed words are
+    the same-orientation Eq every DP recurrence consumes (see
+    ops/dp_fused_pallas.py), so osa/lcs ride the transpose for the cost of
+    their step updates alone — no second Eq structure anywhere.
+    a_ref/b_ref: [1, L, 8, BR8] i32; la/lb and every output: [1, 8, BR8]
+    i32. Output order: lev, m, t [, inter][, prefix][, osa][, lcs]."""
     u32, i32 = jnp.uint32, jnp.int32
     W = -(-L // _WORD)   # packed flag / EqB words
     WP = -(-L // pack)   # compacted sequence words (pack chars per i32)
@@ -218,9 +221,18 @@ def _kernel(
     m1 = jnp.maximum(la - 1, 0)
     hbit = (m1 % _WORD).astype(u32)
     score = la.astype(i32)
+    if with_osa:
+        osa_score = la.astype(i32)
+    if with_lcs:
+        lcs_V = [jnp.full(shape, _ALL_ONES, u32) for _ in range(W)]
     if W == 1:
         pv = jnp.full(shape, _ALL_ONES, u32)
         mv = jnp.zeros(shape, u32)
+        if with_osa:
+            opv = jnp.full(shape, _ALL_ONES, u32)
+            omv = jnp.zeros(shape, u32)
+            d0p = jnp.zeros(shape, u32)
+            pmo = jnp.zeros(shape, u32)
         for j in range(L):  # Myers step (levenshtein_pallas_scan._kernel)
             eq = eql[j][0]
             active = j < lb
@@ -240,11 +252,40 @@ def _kernel(
             score = score + jnp.where(active, delta, 0)
             pv = jnp.where(active, pv_n, pv)
             mv = jnp.where(active, mv_n, mv)
+            if with_osa:  # Hyyrö OSA step (osa_pallas_scan._kernel)
+                tr = (((~d0p) & eq) << 1) & pmo
+                x = eq & opv
+                s1 = x + opv
+                d0 = ((s1 ^ opv) | eq | omv) | tr
+                hp = omv | ~(d0 | opv)
+                hn = d0 & opv
+                hp_bit = (hp >> hbit) & 1
+                hn_bit = (hn >> hbit) & 1
+                hp_s = (hp << 1) | np.uint32(1)
+                hn_s = hn << 1
+                opv_n = hn_s | ~(d0 | hp_s)
+                omv_n = hp_s & d0
+                osa_score = osa_score + jnp.where(
+                    active, hp_bit.astype(i32) - hn_bit.astype(i32), 0)
+                opv = jnp.where(active, opv_n, opv)
+                omv = jnp.where(active, omv_n, omv)
+                d0p = jnp.where(active, d0, d0p)
+                pmo = jnp.where(active, eq, pmo)
+            if with_lcs:  # Allison-Dix step (ops/lcs.py identities)
+                U = lcs_V[0] & eq
+                lcs_V[0] = jnp.where(
+                    active, (lcs_V[0] + U) | (lcs_V[0] ^ U), lcs_V[0])
     else:
-        # inter-word carry chain (levenshtein_pallas_scan._kernel_multiword)
+        # inter-word carry chains (levenshtein_pallas_scan._kernel_multiword
+        # / osa_pallas_scan._kernel_multiword / ops/lcs.py multiword add)
         hword = m1 // _WORD
         pv = [jnp.full(shape, _ALL_ONES, u32) for _ in range(W)]
         mv = [jnp.zeros(shape, u32) for _ in range(W)]
+        if with_osa:
+            opv = [jnp.full(shape, _ALL_ONES, u32) for _ in range(W)]
+            omv = [jnp.zeros(shape, u32) for _ in range(W)]
+            d0p = [jnp.zeros(shape, u32) for _ in range(W)]
+            pmo = [jnp.zeros(shape, u32) for _ in range(W)]
         for j in range(L):
             active = j < lb
             carry = jnp.zeros(shape, u32)
@@ -280,6 +321,59 @@ def _kernel(
             pv = [jnp.where(active, n, o) for n, o in zip(new_pv, pv)]
             mv = [jnp.where(active, n, o) for n, o in zip(new_mv, mv)]
 
+            if with_osa:
+                carry = jnp.zeros(shape, u32)
+                tr_in = jnp.zeros(shape, u32)
+                hp_in = jnp.ones(shape, u32)
+                hn_in = jnp.zeros(shape, u32)
+                hp_bit = jnp.zeros(shape, u32)
+                hn_bit = jnp.zeros(shape, u32)
+                new_opv, new_omv, new_d0 = [], [], []
+                for w in range(W):
+                    eq_w, pv_w, mv_w = eql[j][w], opv[w], omv[w]
+                    tt = (~d0p[w]) & eq_w
+                    tr = ((tt << 1) | tr_in) & pmo[w]
+                    tr_in = tt >> (_WORD - 1)
+                    x = eq_w & pv_w
+                    s1 = x + pv_w
+                    c1 = (s1 < x).astype(u32)
+                    s2 = s1 + carry
+                    c2 = (s2 < s1).astype(u32)
+                    carry = c1 | c2
+                    d0 = ((s2 ^ pv_w) | eq_w | mv_w) | tr
+                    hp = mv_w | ~(d0 | pv_w)
+                    hn = d0 & pv_w
+                    sel = hword == w
+                    hp_bit = jnp.where(sel, (hp >> hbit) & 1, hp_bit)
+                    hn_bit = jnp.where(sel, (hn >> hbit) & 1, hn_bit)
+                    hp_out = hp >> (_WORD - 1)
+                    hn_out = hn >> (_WORD - 1)
+                    hp_s = (hp << 1) | hp_in
+                    hn_s = (hn << 1) | hn_in
+                    hp_in, hn_in = hp_out, hn_out
+                    new_opv.append(hn_s | ~(d0 | hp_s))
+                    new_omv.append(hp_s & d0)
+                    new_d0.append(d0)
+                osa_score = osa_score + jnp.where(
+                    active, hp_bit.astype(i32) - hn_bit.astype(i32), 0)
+                opv = [jnp.where(active, n, o) for n, o in zip(new_opv, opv)]
+                omv = [jnp.where(active, n, o) for n, o in zip(new_omv, omv)]
+                d0p = [jnp.where(active, n, o) for n, o in zip(new_d0, d0p)]
+                pmo = [jnp.where(active, eql[j][w], o)
+                       for w, o in enumerate(pmo)]
+
+            if with_lcs:
+                carry = jnp.zeros(shape, u32)
+                for w in range(W):
+                    U = lcs_V[w] & eql[j][w]
+                    s1 = lcs_V[w] + U
+                    c1 = (s1 < U).astype(u32)
+                    s2 = s1 + carry
+                    c2 = (s2 < s1).astype(u32)
+                    carry = c1 | c2
+                    lcs_V[w] = jnp.where(
+                        active, s2 | (lcs_V[w] ^ U), lcs_V[w])
+
     outs = [score, m, t]
     if with_inter:
         outs.append(inter)
@@ -293,6 +387,16 @@ def _kernel(
             run = e if run is None else (run & e)
             pref = pref + run.astype(i32)
         outs.append(pref)
+    if with_osa:
+        outs.append(osa_score)
+    if with_lcs:
+        # lcs = la - popcount(V & mask(la)) (ops/lcs.py: stray carries past
+        # bit la-1 cannot flow back down, one final mask is exact)
+        cnt = jnp.zeros(shape, i32)
+        for w in range(W):
+            mask_w = _satmask(la - w * _WORD)
+            cnt = cnt + lax.population_count(lcs_V[w] & mask_w).astype(i32)
+        outs.append(la.astype(i32) - cnt)
     for ref, val in zip(out_refs, outs):
         ref[0] = val
 
@@ -320,13 +424,18 @@ def fused_stats_pallas(
     *,
     with_inter: bool = False,
     with_prefix: bool = False,
+    with_osa: bool = False,
+    with_lcs: bool = False,
     pack: Optional[int] = None,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     interpret: Optional[bool] = None,
 ) -> Tuple[Array, ...]:
-    """(lev_d, m, t[, inter][, prefix]) in one fused pass — drop-in for
-    running the levenshtein, jaro [, multiset][, prefix] production kernels
-    on the same [B, L] tiles. L <= 63 (one or two flag words).
+    """(lev_d, m, t[, inter][, prefix][, osa_d][, lcs_len]) in one fused
+    pass — drop-in for running the levenshtein, jaro [, multiset][, prefix]
+    [, osa][, lcs] production kernels on the same [B, L] tiles; osa/lcs
+    consume the transposed Eq words the Myers scan already uses (the
+    same-orientation sharing of ops/dp_fused_pallas.py, riding this
+    kernel's transpose). L <= 63 (one or two flag words).
 
     `pack` mirrors ops/jaro_pallas_scan.jaro_match_stats_pallas_scan's
     contract: 4 (default) for 8-bit tiles, 2 when every codepoint < 2**16
@@ -387,11 +496,13 @@ def fused_stats_pallas(
         (1, _SUB, BR8), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
     )
 
-    n_out = 3 + int(with_inter) + int(with_prefix)
+    n_out = (3 + int(with_inter) + int(with_prefix)
+             + int(with_osa) + int(with_lcs))
     res = pl.pallas_call(
         functools.partial(
             _kernel, L=L, pack=pack,
             with_inter=with_inter, with_prefix=with_prefix,
+            with_osa=with_osa, with_lcs=with_lcs,
         ),
         out_shape=(jax.ShapeDtypeStruct((G, _SUB, BR8), i32),) * n_out,
         grid=(G,),

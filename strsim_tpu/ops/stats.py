@@ -349,9 +349,15 @@ def compute_stats(
                 "inter" in need and impl.get("multiset") == "pallas_scan"
             )
             with_prefix = "prefix" in need
+            # osa/lcs consume the same transposed Eq words the Myers scan
+            # does — riding this kernel's transpose beats a second kernel
+            # rebuilding the structure (the all-14 serving mode)
+            with_osa = "osa_d" in need and impl.get("osa") == "pallas_scan"
+            with_lcs = "lcs_len" in need and impl.get("lcs") == "pallas_scan"
             res = ljp.fused_stats_pallas(
                 a, b, len_a, len_b,
-                with_inter=with_inter, with_prefix=with_prefix, pack=pack,
+                with_inter=with_inter, with_prefix=with_prefix,
+                with_osa=with_osa, with_lcs=with_lcs, pack=pack,
             )
             out["lev_d"], out["jaro_m"], out["jaro_t"] = res[:3]
             k = 3
@@ -360,6 +366,12 @@ def compute_stats(
                 k += 1
             if with_prefix:
                 out["prefix"] = res[k]
+                k += 1
+            if with_osa:
+                out["osa_d"] = res[k]
+                k += 1
+            if with_lcs:
+                out["lcs_len"] = res[k]
     # same-orientation fused DP (ROOFLINE headroom #7): lev/osa/lcs consume
     # IDENTICAL per-text-position Eq words — one build serves every
     # requested recurrence (ops/dp_fused_pallas.py). Taken when >= 2 of the
@@ -372,9 +384,17 @@ def compute_stats(
         and impl.get("levenshtein") == "pallas_scan"
     ):
         dp_want.append("lev")
-    if "osa_d" in need and impl.get("osa") == "pallas_scan":
+    if (
+        "osa_d" in need
+        and "osa_d" not in out
+        and impl.get("osa") == "pallas_scan"
+    ):
         dp_want.append("osa")
-    if "lcs_len" in need and impl.get("lcs") == "pallas_scan":
+    if (
+        "lcs_len" in need
+        and "lcs_len" not in out
+        and impl.get("lcs") == "pallas_scan"
+    ):
         dp_want.append("lcs")
     if len(dp_want) >= 2 or dp_want == ["lcs"]:
         from strsim_tpu.ops import dp_fused_pallas as dpf

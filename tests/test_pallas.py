@@ -621,6 +621,100 @@ def test_fused_five_kernel_parity():
             assert int(pref[i]) == want_p, (width, pack, i, x, y)
 
 
+def test_fused_mega7_kernel_parity():
+    """The mega kernel's osa/lcs outputs (round 5: they consume the
+    transposed Eq words the Myers scan already uses) vs the XLA kernels and
+    the oracle at W=1 widths, incl. adjacent swaps (OSA's TR vector),
+    empties and equal rows. W=2 widths are TPU-validated by
+    tools/ab_fused_five.py."""
+    from collections import Counter
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops import lev_jaro_pallas as ljp
+    from strsim_tpu.ops import oracle
+    from strsim_tpu.ops.lcs import lcs_length
+    from strsim_tpu.ops.osa_myers import osa_distance_myers
+    from strsim_tpu.utils import encode as enc
+
+    rng = np.random.default_rng(77)
+    for width in (7, 15, 31):
+        n = 128
+        cols = []
+        for _ in range(2):
+            cols.append(["".join(chr(97 + int(c)) for c in
+                                 rng.integers(0, 4, int(rng.integers(0, width + 1))))
+                         for _ in range(n)])
+        cols[0][:4] = ["", "ab", "abc", "ba"]
+        cols[1][:4] = ["x", "ba", "acb", "ab"]
+        for i in range(0, n, 7):
+            cols[1][i] = cols[0][i]
+        for i in range(3, n, 13):
+            if len(cols[0][i]) > 2:
+                k = int(rng.integers(0, len(cols[0][i]) - 1))
+                s = cols[0][i]
+                cols[1][i] = s[:k] + s[k + 1] + s[k] + s[k + 2:]
+        a = enc.encode_column(cols[0], pad=enc.PAD_A, width=width)
+        b = enc.encode_column(cols[1], pad=enc.PAD_B, width=width)
+        args = (jnp.asarray(a.codes.astype(np.int8)),
+                jnp.asarray(b.codes.astype(np.int8)),
+                jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+        lev, m, t, inter, pref, osa, lcs = ljp.fused_stats_pallas(
+            *args, with_inter=True, with_prefix=True,
+            with_osa=True, with_lcs=True)
+        assert np.asarray(osa).tolist() == np.asarray(
+            osa_distance_myers(*args)).tolist(), width
+        assert np.asarray(lcs).tolist() == np.asarray(
+            lcs_length(*args)).tolist(), width
+        for i in range(n):
+            x, y = cols[0][i], cols[1][i]
+            if x and y:
+                assert int(lev[i]) == oracle.levenshtein_distance(x, y)
+                if not (len(x) == 1 and len(y) == 1):
+                    wm, wt = oracle.jaro_stats(x, y)
+                    assert (int(m[i]), int(t[i])) == (wm, wt), (width, i, x, y)
+            ca, cb = Counter(x), Counter(y)
+            assert int(inter[i]) == sum(min(ca[c], cb[c]) for c in ca)
+
+
+def test_fused_mega7_dispatch_via_compute_stats():
+    """The all-14 stat set routes lev/jaro/inter/prefix/osa/lcs through ONE
+    mega-kernel pallas call (+ the bigram kernel + soundex) — osa_d and
+    lcs_len must NOT fall through to a separate dp-fused call when jaro is
+    in the set."""
+    import re
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from strsim_tpu.ops.stats import compute_stats
+    from strsim_tpu.utils import encode as enc
+
+    cols_a = ["night", "abcdef", "", "ba", "same"]
+    cols_b = ["nacht", "abdcef", "x", "ab", "same"]
+    a = enc.encode_column(cols_a, pad=enc.PAD_A, width=15)
+    b = enc.encode_column(cols_b, pad=enc.PAD_B, width=15)
+    args = (jnp.asarray(a.codes.astype(np.int8)),
+            jnp.asarray(b.codes.astype(np.int8)),
+            jnp.asarray(a.lengths), jnp.asarray(b.lengths))
+    msr = ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice",
+           "osa", "lcs_seq", "indel")
+    impls = (("levenshtein", "pallas_scan"), ("jaro", "pallas_scan"),
+             ("multiset", "pallas_scan"), ("osa", "pallas_scan"),
+             ("lcs", "pallas_scan"))
+    got = compute_stats(*args, msr, impls)
+    ref = compute_stats(*args, msr, ())
+    assert set(got) == {"lev_d", "jaro_m", "jaro_t", "inter", "prefix",
+                        "osa_d", "lcs_len"}
+    for k in got:
+        assert np.asarray(got[k]).tolist() == np.asarray(ref[k]).tolist(), k
+    jaxpr = str(jax.make_jaxpr(lambda *xs: compute_stats(*xs, msr, impls))(*args))
+    n_pallas = len(re.findall(r"= pallas_call", jaxpr))
+    assert n_pallas == 1, f"expected 1 pallas_call for the 7-stat set, found {n_pallas}"
+
+
 def test_fused_blocked_transpose_w2():
     """The W=2 (64x64 blocked) bit transpose vs a numpy oracle: out word
     orientation eql[j][w'] bit i == eqj[i][w] bit j at L = 47 and 63 —
@@ -858,16 +952,20 @@ def test_dp_fused_dispatch_via_compute_stats():
     jaxpr = str(jax.make_jaxpr(lambda *xs: compute_stats(*xs, msr, impls))(*args))
     assert len(re.findall(r"= pallas_call", jaxpr)) == 1
 
-    # jaro in the set: lev comes from the shared-equality kernel, osa/lcs
-    # from the DP kernel — two pallas calls total, results unchanged
+    # jaro in the set: the shared-equality mega kernel absorbs osa/lcs too
+    # (they consume its transposed Eq words) — ONE pallas call, results
+    # unchanged. The tiles must be int8 for the mega route (pack=4).
     msr2 = ("levenshtein", "jaro", "osa", "lcs_seq")
     impls2 = impls + (("jaro", "pallas_scan"),)
-    got2 = compute_stats(*args, msr2, impls2)
-    ref2 = compute_stats(*args, msr2, ())
+    args8 = (jnp.asarray(np.asarray(args[0]).astype(np.int8)),
+             jnp.asarray(np.asarray(args[1]).astype(np.int8)),
+             args[2], args[3])
+    got2 = compute_stats(*args8, msr2, impls2)
+    ref2 = compute_stats(*args8, msr2, ())
     for k in got2:
         assert np.asarray(got2[k]).tolist() == np.asarray(ref2[k]).tolist(), k
-    jaxpr2 = str(jax.make_jaxpr(lambda *xs: compute_stats(*xs, msr2, impls2))(*args))
-    assert len(re.findall(r"= pallas_call", jaxpr2)) == 2
+    jaxpr2 = str(jax.make_jaxpr(lambda *xs: compute_stats(*xs, msr2, impls2))(*args8))
+    assert len(re.findall(r"= pallas_call", jaxpr2)) == 1
 
 
 def test_fused_lev_jaro_fallthrough_conditions():

@@ -48,6 +48,30 @@ SETS = [
         ),
         (),
     ),
+    # ALL 14 measures in one fused pass — the "compute everything" serving
+    # mode. Current routing covers it with four pallas calls per bucket:
+    # the shared-equality mega kernel (lev_d, jaro_m/t, inter, prefix),
+    # the same-orientation DP kernel (osa_d, lcs_len), the bigram kernel
+    # (inter2, ham_m, eq), and the soundex encoder.
+    (
+        (
+            "levenshtein",
+            "jaro",
+            "jaro_winkler",
+            "jaccard",
+            "sorensen_dice",
+            "jaccard_bigram",
+            "sorensen_dice_bigram",
+            "cosine",
+            "overlap",
+            "hamming",
+            "lcs_seq",
+            "indel",
+            "osa",
+            "soundex",
+        ),
+        (),
+    ),
 ]
 
 

@@ -53,6 +53,9 @@ SETS = [
     ("jaccard", "cosine", "overlap"),
     ("jaccard_bigram", "sorensen_dice_bigram", "cosine", "overlap",
      "hamming", "lcs_seq", "indel", "osa", "soundex"),          # all-nine
+    ("levenshtein", "jaro", "jaro_winkler", "jaccard", "sorensen_dice",
+     "jaccard_bigram", "sorensen_dice_bigram", "cosine", "overlap",
+     "hamming", "lcs_seq", "indel", "osa", "soundex"),  # ALL 14 (mega7 path)
 ]
 ALPHAS = ["ab", "abcdefgh", "abcdefghijklmnopqrstuvwxyz -'",
           "aéüñ", "日本語中文한국", "ab𝄞𝄢"]
